@@ -1,0 +1,214 @@
+"""Typed configuration for the whole framework.
+
+The reference scatters every hyperparameter as hard-coded literals across its
+scripts (SURVEY.md §5 "Config / flag system: none"); here they are collected
+into frozen dataclasses so that training scripts, the instance fit, and the
+benchmark all draw from one audited source.  Defaults reproduce the reference
+behavior exactly; each field cites the reference origin (file:line under
+/root/reference).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class HashGridConfig:
+    """Multiresolution hash-grid encoding.
+
+    Mirrors the tiny-cuda-nn config at src/models/immoco.py:27-37 of the
+    reference: 16 levels x 2 features, 2^19-entry tables, base resolution 16,
+    per-level scale 2, linear interpolation.
+    """
+
+    num_levels: int = 16
+    features_per_level: int = 2
+    log2_hashmap_size: int = 19
+    base_resolution: int = 16
+    per_level_scale: float = 2.0
+    # tiny-cuda-nn initializes hash tables ~ U(-1e-4, 1e-4).
+    init_scale: float = 1e-4
+
+    @property
+    def table_size(self) -> int:
+        return 1 << self.log2_hashmap_size
+
+    @property
+    def num_features(self) -> int:
+        return self.num_levels * self.features_per_level
+
+    def level_resolution(self, level: int) -> int:
+        # tcnn: N_l = floor(N_min * b^l)
+        return int(self.base_resolution * (self.per_level_scale**level))
+
+
+@dataclasses.dataclass(frozen=True)
+class MLPConfig:
+    """Small INR head MLP (reference: tcnn network_config, immoco.py:11-25)."""
+
+    hidden_width: int = 256
+    num_hidden_layers: int = 1
+    activation: str = "relu"  # "relu" | "tanh"
+    out_features: int = 2
+
+
+@dataclasses.dataclass(frozen=True)
+class ImageINRConfig:
+    """Image INR: 2-D coords -> (Re, Im). Reference immoco.py:11-17,60-62."""
+
+    grid: HashGridConfig = HashGridConfig()
+    mlp: MLPConfig = MLPConfig(hidden_width=256, activation="relu")
+
+
+@dataclasses.dataclass(frozen=True)
+class MotionINRConfig:
+    """Motion INR: 3-D coords (movement, x, y) -> 2-D displacement.
+
+    Reference immoco.py:19-25,63-65 — 64-wide Tanh MLP, output squashed with
+    tanh and added to the identity sampling grid (immoco.py:93-95).
+    """
+
+    grid: HashGridConfig = HashGridConfig()
+    mlp: MLPConfig = MLPConfig(hidden_width=64, activation="tanh")
+
+
+@dataclasses.dataclass(frozen=True)
+class InstanceFitConfig:
+    """IM-MoCo per-slice self-supervised optimization.
+
+    Reference defaults: imcoco_motion_correction(iters=200, lr=1e-2,
+    lambda_ge=1e-2) at immoco.py:116-117; k-space pre-scaled to max-abs 16000
+    (immoco.py:137-139); lambda halving schedule at immoco.py:180-181.
+    """
+
+    iters: int = 200
+    learning_rate: float = 1e-2
+    lambda_ge: float = 1e-2
+    kspace_scale: float = 16000.0
+    # Adam (torch defaults, immoco.py:149-154)
+    b1: float = 0.9
+    b2: float = 0.999
+    eps: float = 1e-8
+    image_inr: ImageINRConfig = ImageINRConfig()
+    motion_inr: MotionINRConfig = MotionINRConfig()
+    # Static padded movement-group count for XLA; reference shapes are
+    # data-dependent (heavy scenario uses 16-19 groups, prepareData.py:147-148).
+    max_movements: int = 24
+    # Compute dtype for the INR MLPs ("bfloat16" rides the MXU; params fp32).
+    compute_dtype: str = "float32"
+
+
+@dataclasses.dataclass(frozen=True)
+class MotionSimConfig:
+    """Rigid 2-D motion simulation (reference motion_utils.py:121-202).
+
+    Random per-movement integer rotation/translation in [-10, 10), corrupted
+    k-space column bands of width 1-10, minimum gap size//n_movements.
+    """
+
+    n_movements_range: Tuple[int, int] = (5, 20)  # get_rand_int([5,20])
+    shift_range: Tuple[int, int] = (-10, 10)
+    rotate_range: Tuple[int, int] = (-10, 10)
+    width_range: Tuple[int, int] = (1, 10)
+    acs_fraction: float = 0.08  # computed (motion_utils.py:136) but unused
+
+
+@dataclasses.dataclass(frozen=True)
+class UnetConfig:
+    """fastMRI-style U-Net (reference src/models/unet.py:17-111).
+
+    klD-Net: in=2 (Re/Im k-space), out=1 logit mask, chans=32, 4 pools
+    (kld_net.py:4-12, train_kld_net.py:20). Denoiser: in=out=1, 6 pools,
+    InstanceNorm (train_unet_denoiser.py:35-42).
+    """
+
+    in_chans: int = 2
+    out_chans: int = 1
+    chans: int = 32
+    num_pool_layers: int = 4
+    drop_prob: float = 0.0
+    norm: str = "instance"  # "instance" | "batch" | "none"
+
+
+@dataclasses.dataclass(frozen=True)
+class KLDTrainConfig:
+    """klD-Net training recipe (reference train_kld_net.py:22-32)."""
+
+    steps: int = 4200
+    batch_size: int = 4
+    learning_rate: float = 1e-4
+    seed: int = 128
+    best_dice_gate: float = 0.80
+    # CosineAnnealingWarmRestarts(T_0=steps//6, T_mult=2), stepped after i>5.
+    cosine_t0_div: int = 6
+    cosine_t_mult: int = 2
+
+
+@dataclasses.dataclass(frozen=True)
+class AutofocusingConfig:
+    """Autofocusing baseline budget (test_autofocusing.py:66-74)."""
+
+    iters: int = 60
+    learning_rate: float = 1.0
+    loss_scale: float = 1e-4
+    max_movements: int = 24
+
+
+@dataclasses.dataclass(frozen=True)
+class AFPlusConfig:
+    """AF+ baseline (af_plus.py:34-97): per-line rigid params, hand-rolled
+    Adam beta=(0.89, 0.8999), lr 3e-4, 80 iters, central 8% lines frozen."""
+
+    iters: int = 80
+    learning_rate: float = 3e-4
+    b1: float = 0.89
+    b2: float = 0.8999
+    grad_scale: float = 1e-4
+    center_fraction: float = 0.08
+    nufft_oversamp: int = 5
+
+
+@dataclasses.dataclass(frozen=True)
+class DataConfig:
+    """Corpus layout (reference prepareData.py).
+
+    light = 6-9 movements, heavy = 16-19 (prepareData.py:147-148); 320^2
+    center crop with separate-Re/Im RSS coil combine (data_utils.py:60-75).
+    """
+
+    crop_size: int = 320
+    n_test: int = 50
+    light_movements: Tuple[int, int] = (6, 10)  # np.arange semantics [lo, hi)
+    heavy_movements: Tuple[int, int] = (16, 20)
+    slice_index: int = 1  # preprocess_dataset picks volume slice [1]
+
+
+@dataclasses.dataclass(frozen=True)
+class MeshConfig:
+    """Device-mesh layout for batched fits. dp shards the slice batch; tp
+    shards hash-grid levels (all-gathered features over ICI)."""
+
+    dp: int = -1  # -1: all remaining devices
+    tp: int = 1
+
+
+@dataclasses.dataclass(frozen=True)
+class FrameworkConfig:
+    fit: InstanceFitConfig = InstanceFitConfig()
+    sim: MotionSimConfig = MotionSimConfig()
+    kld_unet: UnetConfig = UnetConfig()
+    kld_train: KLDTrainConfig = KLDTrainConfig()
+    autofocus: AutofocusingConfig = AutofocusingConfig()
+    afplus: AFPlusConfig = AFPlusConfig()
+    data: DataConfig = DataConfig()
+    mesh: MeshConfig = MeshConfig()
+
+
+DEFAULT = FrameworkConfig()
+
+
+def replace(cfg, **kw):
+    """dataclasses.replace passthrough for ergonomic config overrides."""
+    return dataclasses.replace(cfg, **kw)
