@@ -45,6 +45,33 @@ class HashGridConfig:
 
 
 @dataclasses.dataclass(frozen=True)
+class LatticeEncodingConfig:
+    """TPU-native separable lattice encoding (alternative to the hash grid).
+
+    For INR queries that form a fixed regular lattice (always the case in
+    IM-MoCo: the Image INR queries the identity grid, the Motion INR a
+    (movements, H, W) meshgrid — immoco.py:72-80), each sub-Nyquist level is
+    a dense feature grid evaluated by *separable interpolation matmuls*
+    (MXU-friendly, zero gathers), and all super-Nyquist hashed levels are
+    folded into free per-lattice-point "fine" features — which on a fixed
+    lattice strictly subsume hashed features (a hashed level restricted to a
+    lattice is a fixed sparse linear map of table entries with collisions;
+    a free per-point feature removes the collisions).
+    """
+
+    base_resolution: int = 16
+    per_level_scale: float = 2.0
+    features_per_level: int = 2
+    num_levels: int = 16
+    # Per-level dense-entry cap; defaults to the reference hash-table size so
+    # the parameter budget per level matches the hash grid it replaces.
+    dense_entry_budget: int = 1 << 19
+    # Per-point feature dim; -1 derives features_per_level * n_folded_levels.
+    fine_features: int = -1
+    init_scale: float = 1e-4
+
+
+@dataclasses.dataclass(frozen=True)
 class MLPConfig:
     """Small INR head MLP (reference: tcnn network_config, immoco.py:11-25)."""
 
@@ -58,7 +85,9 @@ class MLPConfig:
 class ImageINRConfig:
     """Image INR: 2-D coords -> (Re, Im). Reference immoco.py:11-17,60-62."""
 
+    encoding: str = "hash"  # "hash" | "lattice"
     grid: HashGridConfig = HashGridConfig()
+    lattice: LatticeEncodingConfig = LatticeEncodingConfig()
     mlp: MLPConfig = MLPConfig(hidden_width=256, activation="relu")
 
 
@@ -70,7 +99,11 @@ class MotionINRConfig:
     tanh and added to the identity sampling grid (immoco.py:93-95).
     """
 
+    encoding: str = "hash"  # "hash" | "lattice"
     grid: HashGridConfig = HashGridConfig()
+    # Displacement fields are smooth; default the lattice variant to the dense
+    # pyramid only (no per-point fine features).
+    lattice: LatticeEncodingConfig = LatticeEncodingConfig(fine_features=0)
     mlp: MLPConfig = MLPConfig(hidden_width=64, activation="tanh")
 
 

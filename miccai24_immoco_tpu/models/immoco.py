@@ -1,0 +1,190 @@
+"""IM-MoCo: joint Image-INR + Motion-INR self-supervised instance fit.
+
+Reference behavior (src/models/immoco.py:48-206):
+
+forward (immoco.py:82-113):
+  1. image  = ImageINR(identity grid)                  -> complex (H, W)
+  2. grids  = tanh(MotionINR((movement, x, y) grid)) + identity grid
+  3. motion_images[g] = grid_sample(image, grids[g], bilinear, zeros,
+                                    align_corners=False)
+  4. kspace_out = FFT(image) * (1 - sum(masks))
+                + sum_g FFT(motion_images[g]) * masks[g]
+
+fit (immoco.py:116-206):
+  - k-space pre-scaled to max-abs 16000 (immoco.py:137-139)
+  - Adam lr 1e-2 over both INRs, 200 iterations
+  - loss = MSE(view_as_real(kspace_out), view_as_real(kspace_in))
+         + lambda * GradientEntropy(image)
+  - lambda halves after every iteration j with j % (iters//10) != 0 and
+    j > iters//2 (immoco.py:180-181 — the quirky schedule is replicated
+    verbatim because it shapes the converged image; see lambda_schedule).
+
+TPU-native design: the whole 200-iteration fit is ONE ``lax.scan`` inside one
+XLA graph (vs ~10 kernel launches per PyTorch step), with the INR gather
+plans / interpolation matrices hoisted out of the loop; movement-group count
+is padded to a static maximum (zero masks are forward-model invariant);
+batched fits are a ``vmap`` away (see parallel/).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from miccai24_immoco_tpu.config import InstanceFitConfig
+from miccai24_immoco_tpu.models.inr import INRSpec, build_inr
+from miccai24_immoco_tpu.ops.fft import fft2c
+from miccai24_immoco_tpu.ops.losses import gradient_entropy, real_pair_mse
+from miccai24_immoco_tpu.ops.warp import grid_sample, identity_grid
+
+
+class FitResult(NamedTuple):
+    image: jnp.ndarray  # (H, W) complex64 — corrected image (input scale)
+    kspace_forward: jnp.ndarray  # (H, W) complex64 — final forward model
+    losses: jnp.ndarray  # (iters,) float32 — per-iteration total loss
+
+
+def lambda_schedule(cfg: InstanceFitConfig) -> np.ndarray:
+    """Per-iteration gradient-entropy weight, replicating immoco.py:180-181.
+
+    For the default 200 iterations this keeps lambda at its initial value for
+    the first half and then halves it after almost every iteration (all
+    j > 100 except multiples of 20), driving the prior to ~0 so late
+    iterations purely enforce data consistency.
+    """
+    lam = cfg.lambda_ge
+    sched = np.empty(cfg.iters, np.float32)
+    decade = max(cfg.iters // 10, 1)
+    for j in range(cfg.iters):
+        sched[j] = lam
+        if (j % decade) != 0 and j > (cfg.iters // 2):
+            lam *= 0.5
+    return sched
+
+
+@dataclasses.dataclass(frozen=True)
+class IMMoCoModel:
+    """Compiled-shape IM-MoCo forward model for (max_movements, H, W)."""
+
+    cfg: InstanceFitConfig
+    height: int
+    width: int
+    image_inr: INRSpec
+    motion_inr: INRSpec
+    id_grid: jnp.ndarray  # (H, W, 2), align_corners=True identity
+
+    def init(self, key) -> Dict[str, Any]:
+        k1, k2 = jax.random.split(key)
+        return {"image": self.image_inr.init(k1), "motion": self.motion_inr.init(k2)}
+
+    def predict_image(self, params) -> jnp.ndarray:
+        pair = self.image_inr.apply(params["image"])  # (H, W, 2)
+        return jax.lax.complex(pair[..., 0], pair[..., 1])
+
+    def forward(self, params, masks: jnp.ndarray):
+        """masks: (max_movements, H, W) float32, zero-padded group masks.
+
+        Returns (kspace_out, image) exactly as immoco.py:82-113.
+        """
+        image = self.predict_image(params)
+
+        disp = jnp.tanh(self.motion_inr.apply(params["motion"]))  # (M, H, W, 2)
+        grids = disp + self.id_grid[None]
+
+        m = masks.shape[0]
+        motion_images = grid_sample(
+            jnp.broadcast_to(image[None, None], (m, 1, self.height, self.width)),
+            grids,
+            mode="bilinear",
+            padding_mode="zeros",
+            align_corners=False,
+        )[:, 0]  # (M, H, W) complex
+
+        dc_term = fft2c(image) * (1.0 - masks.sum(0))
+        mov_term = (fft2c(motion_images) * masks).sum(0)
+        return dc_term + mov_term, image
+
+
+def build_immoco(cfg: InstanceFitConfig, height: int, width: int) -> IMMoCoModel:
+    dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+    image_inr = build_inr(cfg.image_inr, (height, width), compute_dtype=dtype)
+    motion_inr = build_inr(
+        cfg.motion_inr, (cfg.max_movements, height, width), compute_dtype=dtype
+    )
+    return IMMoCoModel(
+        cfg=cfg,
+        height=height,
+        width=width,
+        image_inr=image_inr,
+        motion_inr=motion_inr,
+        id_grid=identity_grid((height, width), align_corners=True),
+    )
+
+
+def make_instance_fit(
+    model: IMMoCoModel,
+) -> Callable[[jnp.ndarray, jnp.ndarray, jax.Array], FitResult]:
+    """Build the jittable single-slice fit:  (kspace, masks, key) -> FitResult.
+
+    kspace: (H, W) complex64 corrupted k-space.
+    masks:  (max_movements, H, W) float32 zero-padded movement-group masks.
+    """
+    cfg = model.cfg
+    lambdas = jnp.asarray(lambda_schedule(cfg))
+    opt = optax.adam(cfg.learning_rate, b1=cfg.b1, b2=cfg.b2, eps=cfg.eps)
+
+    def fit(kspace, masks, key) -> FitResult:
+        scale = jnp.abs(kspace).max()
+        k_in = kspace / scale * cfg.kspace_scale
+
+        params = model.init(key)
+        opt_state = opt.init(params)
+
+        def loss_fn(p, lam):
+            k_out, image = model.forward(p, masks)
+            return real_pair_mse(k_out, k_in) + lam * gradient_entropy(image)
+
+        def step(carry, lam):
+            p, s = carry
+            loss, grads = jax.value_and_grad(loss_fn)(p, lam)
+            updates, s = opt.update(grads, s)
+            p = optax.apply_updates(p, updates)
+            return (p, s), loss
+
+        (params, _), losses = jax.lax.scan(step, (params, opt_state), lambdas)
+
+        k_fwd, image = model.forward(params, masks)
+        descale = scale / cfg.kspace_scale
+        return FitResult(
+            image=image * descale, kspace_forward=k_fwd * descale, losses=losses
+        )
+
+    return fit
+
+
+def motion_correct(
+    kspace: jnp.ndarray,
+    masks: jnp.ndarray,
+    cfg: InstanceFitConfig = InstanceFitConfig(),
+    key: Optional[jax.Array] = None,
+) -> FitResult:
+    """One-call convenience API mirroring imcoco_motion_correction
+    (immoco.py:116). Jits on first use per (H, W, cfg) combination."""
+    h, w = kspace.shape
+    model = build_immoco(cfg, h, w)
+    if masks.shape[0] != cfg.max_movements:
+        pad = cfg.max_movements - masks.shape[0]
+        if pad < 0:
+            raise ValueError(
+                f"{masks.shape[0]} movement groups > max_movements={cfg.max_movements}"
+            )
+        masks = jnp.pad(masks.astype(jnp.float32), ((0, pad), (0, 0), (0, 0)))
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    fit = jax.jit(make_instance_fit(model))
+    return fit(kspace, masks.astype(jnp.float32), key)

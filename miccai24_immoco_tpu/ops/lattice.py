@@ -1,0 +1,147 @@
+"""Separable lattice encoding — the TPU-native INR feature backbone.
+
+Both IM-MoCo INRs only ever query *fixed regular lattices* (reference
+immoco.py:72-80: the identity affine grid and a (movements, H, W) meshgrid,
+both built from linspace(-1, 1, s) per axis).  Sampling a dense level grid at
+such a lattice is a separable linear map, so each level evaluates as a chain
+of tiny interpolation matmuls — pure MXU work, zero gathers — instead of the
+random-access hash-table lookups tiny-cuda-nn does on GPU.
+
+Levels whose dense size would exceed the reference hash-table budget (the
+"hashed" levels, which at super-Nyquist resolution act as per-query-point
+random features) are folded into explicit per-lattice-point fine features,
+which strictly subsume them on a fixed lattice.
+
+Equivalence to the hash grid on dense levels is exact (same d-linear
+interpolation; tested in tests/test_encoding.py).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from miccai24_immoco_tpu.config import LatticeEncodingConfig
+
+
+def plan_levels(
+    cfg: LatticeEncodingConfig, lattice_shape: Sequence[int]
+) -> Tuple[List[Tuple[int, ...]], int]:
+    """Decide dense level grid shapes and the folded fine-feature width.
+
+    Per-axis resolution is capped at the lattice extent along that axis
+    (extra nodes between fixed query points add no rank). Levels whose total
+    entry count would exceed ``dense_entry_budget`` are folded into fine
+    per-point features.
+    """
+    shapes: List[Tuple[int, ...]] = []
+    folded = 0
+    for level in range(cfg.num_levels):
+        r = int(cfg.base_resolution * (cfg.per_level_scale**level))
+        shape = tuple(min(r, s) for s in lattice_shape)
+        if int(np.prod(shape)) <= cfg.dense_entry_budget and shape not in shapes:
+            shapes.append(shape)
+        else:
+            folded += 1
+    if cfg.fine_features < 0:
+        fine = cfg.features_per_level * folded
+    else:
+        fine = cfg.fine_features
+    return shapes, fine
+
+
+def init_lattice_params(key, cfg: LatticeEncodingConfig, lattice_shape):
+    """Parameters: per-level dense grids + optional per-point fine features."""
+    shapes, fine = plan_levels(cfg, lattice_shape)
+    keys = jax.random.split(key, len(shapes) + 1)
+    levels = tuple(
+        jax.random.uniform(
+            k,
+            (*shape, cfg.features_per_level),
+            minval=-cfg.init_scale,
+            maxval=cfg.init_scale,
+            dtype=jnp.float32,
+        )
+        for k, shape in zip(keys[:-1], shapes)
+    )
+    fine_feats = None
+    if fine > 0:
+        fine_feats = jax.random.uniform(
+            keys[-1],
+            (*lattice_shape, fine),
+            minval=-cfg.init_scale,
+            maxval=cfg.init_scale,
+            dtype=jnp.float32,
+        )
+    return {"levels": levels, "fine": fine_feats}
+
+
+def feature_width(cfg: LatticeEncodingConfig, lattice_shape) -> int:
+    shapes, fine = plan_levels(cfg, lattice_shape)
+    return len(shapes) * cfg.features_per_level + fine
+
+
+def _interp_matrix(n_out: int, r: int) -> np.ndarray:
+    """(n_out, r) linear-interpolation matrix from an r-node grid spanning
+    [-1, 1] to n_out lattice queries at linspace(-1, 1, n_out).
+
+    Matches the hash grid's per-axis lerp: pos = u * (r - 1), u in [0, 1].
+    """
+    a = np.zeros((n_out, r), dtype=np.float32)
+    if n_out == 1:
+        u = np.zeros(1)
+    else:
+        u = np.arange(n_out) / (n_out - 1)
+    pos = u * (r - 1)
+    lo = np.floor(pos).astype(np.int64)
+    lo = np.clip(lo, 0, max(r - 2, 0))
+    t = (pos - lo).astype(np.float32)
+    a[np.arange(n_out), lo] = 1.0 - t
+    if r > 1:
+        a[np.arange(n_out), np.minimum(lo + 1, r - 1)] += t
+    return a
+
+
+def lattice_plan(cfg: LatticeEncodingConfig, lattice_shape):
+    """Static per-level, per-axis interpolation matrices."""
+    shapes, _ = plan_levels(cfg, lattice_shape)
+    plan = []
+    for shape in shapes:
+        plan.append(
+            tuple(
+                jnp.asarray(_interp_matrix(n_out, r))
+                for n_out, r in zip(lattice_shape, shape)
+            )
+        )
+    return tuple(plan)
+
+
+def _eval_level(grid: jnp.ndarray, mats) -> jnp.ndarray:
+    """Resample (r1, ..., rd, F) level grid to the full lattice via separable
+    matmuls: out[i1..id, f] = sum A1[i1,r1] ... Ad[id,rd] grid[r1..rd, f]."""
+    out = grid
+    d = len(mats)
+    for axis, a in enumerate(mats):
+        # Contract current axis `axis` (all earlier axes already lattice-sized).
+        out = jnp.moveaxis(out, axis, 0)
+        r = out.shape[0]
+        rest = out.shape[1:]
+        out = a @ out.reshape(r, -1)
+        out = out.reshape((a.shape[0], *rest))
+        out = jnp.moveaxis(out, 0, axis)
+    return out
+
+
+def lattice_encode(params, plan) -> jnp.ndarray:
+    """Evaluate all levels on the lattice.
+
+    Returns (*lattice_shape, F_total) features (levels concatenated, then
+    fine per-point features).
+    """
+    outs = [_eval_level(g, mats) for g, mats in zip(params["levels"], plan)]
+    if params["fine"] is not None:
+        outs.append(params["fine"])
+    return jnp.concatenate(outs, axis=-1)

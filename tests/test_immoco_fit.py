@@ -1,0 +1,143 @@
+"""End-to-end IM-MoCo instance fit on a small synthetic slice (CPU-sized).
+
+Mirrors the reference pipeline test_immoco.py:45-94: simulate motion ->
+extract movement groups -> instance fit -> quarter-crop metrics; asserts the
+fit improves SSIM/PSNR over the corrupted image for both encoding backends.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from miccai24_immoco_tpu.config import (
+    HashGridConfig,
+    ImageINRConfig,
+    InstanceFitConfig,
+    LatticeEncodingConfig,
+    MLPConfig,
+    MotionINRConfig,
+)
+from miccai24_immoco_tpu.models.immoco import (
+    build_immoco,
+    lambda_schedule,
+    make_instance_fit,
+    motion_correct,
+)
+from miccai24_immoco_tpu.ops import ifft2c
+from miccai24_immoco_tpu.ops.masks import extract_movement_groups
+from miccai24_immoco_tpu.ops.metrics import calmetric2d, center_crop_quarter
+from miccai24_immoco_tpu.ops.motion_sim import simulate_motion_2d
+
+
+def synthetic_brain(h=64, w=64, seed=5):
+    """Smooth complex phantom: a few soft ellipses with mild phase."""
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[:h, :w].astype(np.float32)
+    img = np.zeros((h, w), np.float32)
+    for _ in range(6):
+        cy, cx = rng.uniform(0.25, 0.75, 2) * [h, w]
+        ry, rx = rng.uniform(0.08, 0.3, 2) * [h, w]
+        a = rng.uniform(0.3, 1.0)
+        img += a * np.exp(-(((yy - cy) / ry) ** 2 + ((xx - cx) / rx) ** 2))
+    phase = 0.3 * np.sin(yy / 9.0) * np.cos(xx / 7.0)
+    return jnp.asarray((img * np.exp(1j * phase)).astype(np.complex64))
+
+
+def small_cfg(image_encoding, motion_encoding, iters=80, max_movements=6):
+    small_hash = HashGridConfig(num_levels=6, log2_hashmap_size=12, base_resolution=4)
+    small_lat = LatticeEncodingConfig(
+        num_levels=6, base_resolution=4, dense_entry_budget=1 << 12
+    )
+    small_lat_motion = LatticeEncodingConfig(
+        num_levels=6, base_resolution=4, dense_entry_budget=1 << 12, fine_features=0
+    )
+    return InstanceFitConfig(
+        iters=iters,
+        max_movements=max_movements,
+        image_inr=ImageINRConfig(
+            encoding=image_encoding,
+            grid=small_hash,
+            lattice=small_lat,
+            mlp=MLPConfig(hidden_width=64, activation="relu"),
+        ),
+        motion_inr=MotionINRConfig(
+            encoding=motion_encoding,
+            grid=small_hash,
+            lattice=small_lat_motion,
+            mlp=MLPConfig(hidden_width=32, activation="tanh"),
+        ),
+    )
+
+
+def test_lambda_schedule_replicates_reference():
+    cfg = InstanceFitConfig(iters=200, lambda_ge=1e-2)
+    sched = lambda_schedule(cfg)
+    # Reference loop (immoco.py:164,180-181).
+    lam, expect = 1e-2, []
+    for j in range(200):
+        expect.append(lam)
+        if j % 20 and j > 100:
+            lam *= 0.5
+    np.testing.assert_allclose(sched, np.asarray(expect, np.float32))
+    assert sched[100] == pytest.approx(1e-2)
+    assert sched[-1] < 1e-25  # prior fully decayed late
+
+
+def test_forward_model_padding_invariance():
+    """Extra all-zero mask planes must not change the forward k-space."""
+    img = synthetic_brain(32, 32)
+    sim = simulate_motion_2d(jax.random.PRNGKey(0), img, n_movements=2)
+    cfg4 = small_cfg("lattice", "lattice", max_movements=4)
+    masks4, _ = extract_movement_groups(sim.mask[0], 32, 4)
+
+    model = build_immoco(cfg4, 32, 32)
+    params = model.init(jax.random.PRNGKey(1))
+    k_a, img_a = model.forward(params, masks4)
+    k_b, img_b = model.forward(params, masks4.at[3:].set(0.0))
+    np.testing.assert_allclose(np.asarray(k_a), np.asarray(k_b), atol=1e-3)
+
+
+@pytest.mark.parametrize(
+    "img_enc,mot_enc", [("hash", "hash"), ("lattice", "lattice")]
+)
+def test_instance_fit_improves_metrics(img_enc, mot_enc):
+    img = synthetic_brain(64, 64)
+    # Seed/movement count chosen so the corruption is substantial in the
+    # quarter-crop (SSIM ~0.89 vs GT); see probe in the commit history.
+    sim = simulate_motion_2d(jax.random.PRNGKey(2), img, n_movements=5)
+    cfg = small_cfg(img_enc, mot_enc, iters=80, max_movements=8)
+    masks, n = extract_movement_groups(sim.mask[0], 64, cfg.max_movements)
+    assert int(n) >= 1
+
+    result = motion_correct(sim.kspace, masks, cfg, key=jax.random.PRNGKey(3))
+    assert np.isfinite(np.asarray(result.losses)).all()
+    # Loss must drop substantially over the fit.
+    assert float(result.losses[-1]) < 0.05 * float(result.losses[0])
+
+    gt = jnp.abs(img)[None, None]
+    corrupted = jnp.abs(ifft2c(sim.kspace))[None, None]
+    corrected = jnp.abs(result.image)[None, None]
+
+    m_corrupt = calmetric2d(center_crop_quarter(corrupted), center_crop_quarter(gt))
+    m_fit = calmetric2d(center_crop_quarter(corrected), center_crop_quarter(gt))
+    assert float(m_fit.ssim) > float(m_corrupt.ssim), (
+        f"{img_enc}/{mot_enc}: ssim {float(m_corrupt.ssim):.4f} -> "
+        f"{float(m_fit.ssim):.4f}"
+    )
+    assert float(m_fit.psnr) > float(m_corrupt.psnr)
+
+
+def test_fit_is_jit_compiled_once():
+    img = synthetic_brain(32, 32)
+    sim = simulate_motion_2d(jax.random.PRNGKey(4), img, n_movements=2)
+    cfg = small_cfg("lattice", "lattice", iters=10, max_movements=4)
+    masks, _ = extract_movement_groups(sim.mask[0], 32, 4)
+    model = build_immoco(cfg, 32, 32)
+    fit = jax.jit(make_instance_fit(model))
+    r1 = fit(sim.kspace, masks, jax.random.PRNGKey(0))
+    r2 = fit(sim.kspace, masks, jax.random.PRNGKey(0))
+    np.testing.assert_allclose(
+        np.asarray(r1.image), np.asarray(r2.image), atol=1e-6
+    )
