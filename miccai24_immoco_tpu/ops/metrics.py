@@ -217,3 +217,36 @@ def center_crop_quarter(img: jnp.ndarray) -> jnp.ndarray:
     h, w = img.shape[-2:]
     ch, cw = h // 4, w // 4
     return img[..., ch : h - ch, cw : w - cw]
+
+
+# --- Segmentation / classification metrics (reference evaluate.py:194-244) ---
+
+
+def dice_coef(y_true: jnp.ndarray, y_pred: jnp.ndarray, smooth: float = 1.0):
+    inter = jnp.sum(y_true * y_pred)
+    union = jnp.sum(y_true) + jnp.sum(y_pred)
+    return (2.0 * inter + smooth) / (union + smooth)
+
+
+def iou_coef(y_true: jnp.ndarray, y_pred: jnp.ndarray, smooth: float = 1.0):
+    inter = jnp.sum(jnp.abs(y_true * y_pred))
+    union = jnp.sum(y_true) + jnp.sum(y_pred) - inter
+    return (inter + smooth) / (union + smooth)
+
+
+def classification_metrics(y_pred: jnp.ndarray, y_gt: jnp.ndarray):
+    """Sensitivity/specificity/precision/F1 on binary arrays
+    (evaluate.py:208-244, spelling corrected)."""
+    tp = jnp.sum((y_pred == 1) & (y_gt == 1))
+    fp = jnp.sum((y_pred == 1) & (y_gt == 0))
+    tn = jnp.sum((y_pred == 0) & (y_gt == 0))
+    sens = tp / jnp.sum(y_gt == 1)
+    spec = tn / jnp.sum(y_gt == 0)
+    prec = tp / (tp + fp)
+    f1 = 2.0 * prec * sens / (prec + sens)
+    return {
+        "sensitivity": sens,
+        "specificity": spec,
+        "precision": prec,
+        "f1": f1,
+    }

@@ -1,0 +1,78 @@
+"""Batched, device-sharded IM-MoCo instance fits.
+
+The reference processes slices strictly sequentially on one GPU
+(test_immoco.py:45-72).  Here a batch of independent per-slice fits runs as
+one ``vmap``-ed, ``jit``-ed program over a (dp, tp) mesh:
+
+- dp: the slice batch is sharded across devices; each device runs its
+  slices' 200-iteration fits with optimizer state resident in local HBM —
+  zero cross-device traffic on this axis.
+- tp: inside every fit, the Image INR's hash tables are sharded over the
+  table axis via sharding constraints; XLA GSPMD inserts the all-gathers
+  over ICI for the encoding gathers and the reduce-scatters for their
+  gradients.
+
+This module is exercised on an 8-device virtual CPU mesh in
+tests/test_parallel.py and via __graft_entry__.dryrun_multichip.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from miccai24_immoco_tpu.config import InstanceFitConfig
+from miccai24_immoco_tpu.models.immoco import (
+    FitResult,
+    IMMoCoModel,
+    build_immoco,
+    make_instance_fit,
+)
+
+
+def make_batched_fit(model: IMMoCoModel) -> Callable:
+    """(B,H,W) kspace, (B,M,H,W) masks, (B,) keys -> batched FitResult."""
+    fit = make_instance_fit(model)
+    return jax.vmap(fit)
+
+
+def make_sharded_fit(model: IMMoCoModel, mesh: Mesh) -> Callable:
+    """Batched fit with explicit dp sharding over the mesh.
+
+    The batch must be divisible by the dp axis size.  Inputs may live on
+    host or any device; jit re-shards them to the declared shardings.
+    """
+    vfit = make_batched_fit(model)
+
+    dp3 = NamedSharding(mesh, P("dp", None, None))
+    dp4 = NamedSharding(mesh, P("dp", None, None, None))
+    dp2 = NamedSharding(mesh, P("dp", None))
+
+    return jax.jit(
+        vfit,
+        in_shardings=(dp3, dp4, dp2),
+        out_shardings=FitResult(image=dp3, kspace_forward=dp3, losses=dp2),
+    )
+
+
+def batched_motion_correct(
+    kspaces: jnp.ndarray,
+    masks: jnp.ndarray,
+    cfg: InstanceFitConfig = InstanceFitConfig(),
+    mesh: Optional[Mesh] = None,
+    key: Optional[jax.Array] = None,
+) -> FitResult:
+    """Convenience API: fit a (B, H, W) batch, optionally mesh-sharded."""
+    b, h, w = kspaces.shape
+    model = build_immoco(cfg, h, w)
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    keys = jax.random.split(key, b)
+    if mesh is None:
+        run = jax.jit(make_batched_fit(model))
+    else:
+        run = make_sharded_fit(model, mesh)
+    return run(kspaces, masks.astype(jnp.float32), keys)

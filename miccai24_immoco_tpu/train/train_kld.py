@@ -1,0 +1,188 @@
+"""klD-Net training: k-space line detection with on-the-fly motion simulation.
+
+Recipe parity with reference train_kld_net.py:
+
+- U-Net(2 -> 1, chans 32, 4 pools) over (Re, Im) k-space channels (:20,:68)
+- AdamW lr 1e-4 (:26-28), CosineAnnealingWarmRestarts(T_0=steps//6, T_mult=2)
+  stepped only after iteration 5 (:31,:82-83)
+- batch 4 random slices per step, fresh motion simulation every step (:57-66)
+- BCE-with-logits against the line mask (:29,:72)
+- per-step validation batch with dice/IoU/classification metrics (:87-120)
+- dice-gated best checkpointing, gate 0.80 (:53,:122-126)
+
+TPU-native: the whole step (sampling, simulation, forward, loss, update) is
+one jitted function; the simulation is vmapped, not a per-sample Python loop.
+
+Documented divergence: the reference trains on *unnormalized* k-space but
+evaluates with per-sample std normalization (test_immoco.py:50-58).  We use
+the inference-time normalization in both phases for consistency.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from miccai24_immoco_tpu.config import KLDTrainConfig, MotionSimConfig, UnetConfig
+from miccai24_immoco_tpu.models.unet import Unet, build_unet
+from miccai24_immoco_tpu.ops.fft import ifft2c
+from miccai24_immoco_tpu.ops.metrics import classification_metrics, dice_coef, iou_coef
+from miccai24_immoco_tpu.ops.motion_sim import simulate_motion_batch
+from miccai24_immoco_tpu.utils.schedules import cosine_warm_restarts
+
+
+def kspace_to_input(kspace: jnp.ndarray) -> jnp.ndarray:
+    """(B, H, W) complex k-space -> (B, H, W, 2) normalized network input.
+
+    Normalization: divide by std of |IFFT(k)| per sample, the inference
+    convention at reference test_immoco.py:50-58.
+    """
+    img_std = jnp.std(jnp.abs(ifft2c(kspace)), axis=(-2, -1), keepdims=True)
+    k = kspace / (img_std + 1e-12)
+    return jnp.stack([k.real, k.imag], axis=-1)
+
+
+@dataclasses.dataclass
+class KLDTrainState:
+    params: dict
+    opt_state: optax.OptState
+    step: int
+    best_dice: float
+    best_params: Optional[dict]
+
+
+def make_kld_trainer(
+    net: Unet,
+    cfg: KLDTrainConfig,
+    sim_cfg: MotionSimConfig = MotionSimConfig(),
+    image_shape: Tuple[int, int] = (320, 320),
+):
+    """Returns (init_fn, train_step, eval_step); all jitted, data-on-device."""
+    h, w = image_shape
+    schedule = cosine_warm_restarts(
+        cfg.learning_rate,
+        t0=max(cfg.steps // cfg.cosine_t0_div, 1),
+        t_mult=cfg.cosine_t_mult,
+        delay_steps=6,
+    )
+    opt = optax.adamw(schedule)
+
+    def init_fn(key) -> Tuple[dict, optax.OptState]:
+        params = net.init(
+            {"params": key}, jnp.zeros((1, h, w, 2), jnp.float32), train=False
+        )["params"]
+        return params, opt.init(params)
+
+    def simulate(key, kspace_clean):
+        """Corrupt a clean (B, H, W) complex k-space batch."""
+        images = ifft2c(kspace_clean)
+        sample = simulate_motion_batch(key, images, cfg=sim_cfg)
+        return sample.kspace, sample.mask.astype(jnp.float32)
+
+    @jax.jit
+    def train_step(params, opt_state, key, kspace_batch):
+        k_key, d_key = jax.random.split(key)
+        k_corrupt, mask = simulate(k_key, kspace_batch)
+        x = kspace_to_input(k_corrupt)
+
+        def loss_fn(p):
+            logits = net.apply(
+                {"params": p}, x, train=True, rngs={"dropout": d_key}
+            )[..., 0]
+            return optax.sigmoid_binary_cross_entropy(logits, mask).mean()
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    @jax.jit
+    def eval_step(params, key, kspace_batch):
+        k_corrupt, mask = simulate(key, kspace_batch)
+        x = kspace_to_input(k_corrupt)
+        logits = net.apply({"params": params}, x, train=False)[..., 0]
+        loss = optax.sigmoid_binary_cross_entropy(logits, mask).mean()
+        pred = (jax.nn.sigmoid(logits) > 0.5).astype(jnp.float32)
+        stats = {
+            "loss": loss,
+            "dice": dice_coef(pred, mask),
+            "iou": iou_coef(pred, mask),
+            "pixel_acc": jnp.mean(pred == mask),
+        }
+        stats.update(classification_metrics(pred, mask))
+        return stats
+
+    return init_fn, train_step, eval_step
+
+
+def train_kld_net(
+    kspace_train: jnp.ndarray,
+    kspace_val: jnp.ndarray,
+    cfg: KLDTrainConfig = KLDTrainConfig(),
+    unet_cfg: UnetConfig = UnetConfig(),
+    sim_cfg: MotionSimConfig = MotionSimConfig(),
+    steps: Optional[int] = None,
+    log_every: int = 50,
+    log_fn: Callable[[int, Dict], None] = lambda i, s: None,
+) -> KLDTrainState:
+    """Full training loop over device-resident (N, H, W) complex stacks."""
+    steps = steps or cfg.steps
+    net = build_unet(unet_cfg)
+    h, w = kspace_train.shape[-2:]
+    init_fn, train_step, eval_step = make_kld_trainer(
+        net, cfg, sim_cfg, (h, w)
+    )
+    key = jax.random.PRNGKey(cfg.seed)
+    key, init_key = jax.random.split(key)
+    params, opt_state = init_fn(init_key)
+
+    n_train = kspace_train.shape[0]
+    n_val = kspace_val.shape[0]
+    best_dice = cfg.best_dice_gate
+    best_params = None
+
+    for i in range(steps):
+        key, b_key, s_key, v_key, vs_key = jax.random.split(key, 5)
+        idx = jax.random.choice(
+            b_key, n_train, (min(cfg.batch_size, n_train),), replace=False
+        )
+        params, opt_state, loss = train_step(
+            params, opt_state, s_key, kspace_train[idx]
+        )
+        vidx = jax.random.choice(
+            v_key, n_val, (min(cfg.batch_size, n_val),), replace=False
+        )
+        stats = eval_step(params, vs_key, kspace_val[vidx])
+        dice = float(stats["dice"])
+        if dice > best_dice:
+            best_dice = dice
+            best_params = jax.tree.map(lambda a: a.copy(), params)
+        if i % log_every == 0:
+            log_fn(i, {"loss_train": float(loss), **{k: float(v) for k, v in stats.items()}})
+
+    return KLDTrainState(
+        params=params,
+        opt_state=opt_state,
+        step=steps,
+        best_dice=best_dice,
+        best_params=best_params,
+    )
+
+
+def predict_line_mask(net: Unet, params, kspace: jnp.ndarray) -> jnp.ndarray:
+    """(B, H, W) complex -> (B, H, W) bool predicted corrupted-line mask,
+    the inference path of reference test_immoco.py:50-58."""
+    x = kspace_to_input(kspace)
+    logits = net.apply({"params": params}, x, train=False)[..., 0]
+    return jax.nn.sigmoid(logits) > 0.5
+
+
+def mask_to_line_indicators(mask: jnp.ndarray, threshold: float = 0.2) -> jnp.ndarray:
+    """(H, W) pixel mask -> (W,) column indicators: column flagged when >20%
+    of its rows are flagged (test_immoco.py:59-61)."""
+    return (mask.astype(jnp.float32).sum(axis=0) / mask.shape[0]) > threshold
