@@ -1,0 +1,119 @@
+"""AF+ baseline: per-phase-line rigid correction with a learned autofocus
+metric, optimized by a hand-rolled Adam.
+
+Reference behavior (src/models/af_plus.py:34-97):
+
+- 320 per-line parameters each for x-shift, y-shift, rotation; the central
+  8% of lines frozen via a zero mask (:38-40)
+- translation applied as k-space phase ramps built with
+  linspace(0, ps, ps) — ps points spanning [0, ps] inclusive (:62-66);
+  the broadcasting quirks of that expression are replicated verbatim
+- rotation via per-row rotated k-space coordinates regridded with the
+  KB NUFFT adjoint at oversamp=5 and re-FFT'd (:21-32)
+- loss = mean(img*1e4*sigmoid(metric_unet(img*1e4))) (:71), metric net is a
+  Unet(1, 1, 32, 6, InstanceNorm) (test_afplus_original.py:26)
+- hand-rolled Adam: betas (0.89, 0.8999), no bias correction, +1e-24 on the
+  second moment, lr 3e-4, gradients pre-scaled by 1e-4; 80 iterations (:56-84)
+
+TPU-native: the whole 80-step loop is one lax.scan; the NUFFT regrid is the
+vectorized scatter-add version (ops/nufft.py).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from miccai24_immoco_tpu.config import AFPlusConfig
+from miccai24_immoco_tpu.ops.fft import fft2c, ifft2c
+from miccai24_immoco_tpu.ops.nufft import nufft_adjoint
+
+
+class AFPlusResult(NamedTuple):
+    image: jnp.ndarray  # (H, W) complex corrected image
+    losses: jnp.ndarray  # (iters,)
+
+
+def rotate_kspace(ks: jnp.ndarray, rot_vector: jnp.ndarray, oversamp: int = 5):
+    """R_differentiable (af_plus.py:21-32): per-row rotation of k-space
+    sample coordinates, regridded via NUFFT adjoint, re-FFT'd."""
+    h, w = ks.shape
+    ys = jnp.arange(-(h // 2), h - h // 2, dtype=jnp.float32)
+    xs = jnp.arange(-(w // 2), w - w // 2, dtype=jnp.float32)
+    gy, gx = jnp.meshgrid(ys, xs, indexing="ij")  # (H, W)
+    cos, sin = jnp.cos(rot_vector), jnp.sin(rot_vector)  # (H,)
+    # Row i rotated by rot_vector[i] (reference batches over the row axis).
+    ry = cos[:, None] * gy - sin[:, None] * gx
+    rx = sin[:, None] * gy + cos[:, None] * gx
+    coord = jnp.stack([ry.reshape(-1), rx.reshape(-1)], axis=-1)  # (N, 2)
+    img = nufft_adjoint(ks.reshape(-1), coord, (h, w), oversamp=oversamp)
+    return fft2c(img)
+
+
+def make_afplus_fit(
+    metric_fn: Callable[[jnp.ndarray], jnp.ndarray],
+    cfg: AFPlusConfig = AFPlusConfig(),
+):
+    """Build the jittable AF+ fit.
+
+    Args:
+      metric_fn: (H, W) magnitude image -> (H, W) artifact logits, i.e. the
+        trained metric U-Net applied to a single-channel image.
+    """
+
+    def fit(kspace: jnp.ndarray) -> AFPlusResult:
+        ps = kspace.shape[-1]
+        ps_cf = int(ps // 2 * cfg.center_fraction)
+        zero_middle = jnp.ones((ps,), jnp.float32)
+        zero_middle = zero_middle.at[ps // 2 - ps_cf : ps // 2 + ps_cf].set(0.0)
+        lin = jnp.linspace(0.0, float(ps), ps)
+        mag = jnp.abs(kspace)
+        ang = jnp.angle(kspace)
+
+        def transform(xs, ys, rot):
+            # Replicates the reference phase-ramp broadcasting exactly
+            # (af_plus.py:62-66): phase[i, j] = -2pi*(lin_i*xs_j + ys_j*lin_j).
+            phase = -2.0 * math.pi * (
+                lin[:, None] * xs[None, :] + (ys * lin)[None, :]
+            )
+            new_k = mag * jnp.exp(1j * (ang + phase))
+            return rotate_kspace(new_k, rot, cfg.nufft_oversamp)
+
+        def loss_fn(xs, ys, rot):
+            yp_ks = transform(xs, ys, rot)
+            yp_img = jnp.abs(ifft2c(yp_ks))
+            return jnp.mean(yp_img * 1e4 * jax.nn.sigmoid(metric_fn(yp_img * 1e4)))
+
+        b1, b2 = cfg.b1, cfg.b2
+
+        def step(carry, _):
+            xs, ys, rot, m1x, m2x, m1y, m2y, m1r, m2r = carry
+            xs = xs * zero_middle
+            ys = ys * zero_middle
+            rot = rot * zero_middle
+            loss, (gx, gy, gr) = jax.value_and_grad(loss_fn, argnums=(0, 1, 2))(
+                xs, ys, rot
+            )
+            gx, gy, gr = gx * cfg.grad_scale, gy * cfg.grad_scale, gr * cfg.grad_scale
+            m1x = b1 * m1x + (1 - b1) * gx
+            m2x = b2 * m2x + (1 - b2) * gx * gx + 1e-24
+            m1y = b1 * m1y + (1 - b1) * gy
+            m2y = b2 * m2y + (1 - b2) * gy * gy + 1e-24
+            m1r = b1 * m1r + (1 - b1) * gr
+            m2r = b2 * m2r + (1 - b2) * gr * gr + 1e-24
+            xs = xs - cfg.learning_rate * m1x * jax.lax.rsqrt(m2x)
+            ys = ys - cfg.learning_rate * m1y * jax.lax.rsqrt(m2y)
+            rot = rot - cfg.learning_rate * m1r * jax.lax.rsqrt(m2r)
+            return (xs, ys, rot, m1x, m2x, m1y, m2y, m1r, m2r), loss
+
+        z = jnp.zeros((ps,), jnp.float32)
+        carry = (z, z, z, z, z, z, z, z, z)
+        carry, losses = jax.lax.scan(step, carry, None, length=cfg.iters)
+        xs, ys, rot = carry[0] * zero_middle, carry[1] * zero_middle, carry[2] * zero_middle
+        yp_ks = transform(xs, ys, rot)
+        return AFPlusResult(image=ifft2c(yp_ks), losses=losses)
+
+    return fit
