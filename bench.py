@@ -1,0 +1,135 @@
+"""Benchmark: IM-MoCo per-slice instance-fit wall-clock on real TPU hardware.
+
+Protocol (BASELINE.md): the reference measurement is the 200-iteration
+self-supervised fit per 320x320 fastMRI T2 brain slice (reference
+test_immoco.py:65-72).  The reference never measures wall-clock; the
+comparison number used for ``vs_baseline`` is a *documented estimate* of the
+A100 PyTorch+tiny-cuda-nn reference at 4.0 s/slice (200 iters x ~20 ms of
+~10 kernel launches incl. 2 tcnn nets, up-to-24-way grid_sample and 25 FFTs
+per iter) — conservative in the reference's favor; replace with a measured
+number when an A100 is available.
+
+We report the *effective per-slice latency* of a vmapped batch (batch
+throughput is the production deployment mode; the whole 200-iter fit is one
+XLA graph), plus fitted-image SSIM vs ground truth on a synthetic corpus to
+guard against benchmarking a broken model.
+
+Output: ONE JSON line {"metric", "value", "unit", "vs_baseline", ...extras}.
+
+Env knobs: BENCH_BATCH (default 4), BENCH_ITERS (200), BENCH_SIZE (320),
+BENCH_ENCODING (image encoding: lattice|hash, default lattice).
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+A100_REFERENCE_SECONDS_PER_SLICE = 4.0  # documented estimate, see docstring
+
+
+def main():
+    from miccai24_immoco_tpu.config import (
+        ImageINRConfig,
+        InstanceFitConfig,
+        MotionINRConfig,
+    )
+    from miccai24_immoco_tpu.data.synthetic import phantom_stack
+    from miccai24_immoco_tpu.models.immoco import build_immoco
+    from miccai24_immoco_tpu.ops.fft import fft2c, ifft2c
+    from miccai24_immoco_tpu.ops.masks import extract_movement_groups
+    from miccai24_immoco_tpu.ops.metrics import calmetric2d, center_crop_quarter
+    from miccai24_immoco_tpu.ops.motion_sim import simulate_motion_2d
+    from miccai24_immoco_tpu.parallel.sharded_fit import make_batched_fit
+
+    batch = int(os.environ.get("BENCH_BATCH", "4"))
+    iters = int(os.environ.get("BENCH_ITERS", "200"))
+    size = int(os.environ.get("BENCH_SIZE", "320"))
+    enc = os.environ.get("BENCH_ENCODING", "lattice")
+    max_mov = 24
+
+    cfg = InstanceFitConfig(
+        iters=iters,
+        max_movements=max_mov,
+        image_inr=ImageINRConfig(encoding=enc),
+        motion_inr=MotionINRConfig(encoding="lattice"),
+    )
+
+    images = phantom_stack(batch, size, size, seed=0)
+
+    @jax.jit
+    def prepare(images, key):
+        keys = jax.random.split(key, images.shape[0])
+
+        def one(img, k):
+            sim = simulate_motion_2d(k, img, n_movements=8, max_movements=max_mov)
+            masks, _ = extract_movement_groups(sim.mask[0], size, max_mov)
+            return sim.kspace, masks
+
+        return jax.vmap(one)(images, keys)
+
+    ksp, masks = jax.block_until_ready(prepare(images, jax.random.PRNGKey(0)))
+
+    model = build_immoco(cfg, size, size)
+    fit = jax.jit(make_batched_fit(model))
+    keys = jax.random.split(jax.random.PRNGKey(1), batch)
+
+    # Warmup / compile.
+    r = fit(ksp, masks, keys, model.statics)
+    jax.block_until_ready(r.losses)
+
+    t0 = time.perf_counter()
+    r = fit(ksp, masks, keys, model.statics)
+    jax.block_until_ready(r.losses)
+    elapsed = time.perf_counter() - t0
+    per_slice = elapsed / batch
+
+    @jax.jit
+    def quality(image, gt):
+        m = calmetric2d(
+            center_crop_quarter(jnp.abs(image)[:, None]),
+            center_crop_quarter(jnp.abs(gt)[:, None]),
+        )
+        return jnp.stack([m.ssim, m.psnr])
+
+    fit_q = np.asarray(quality(r.image, images))
+
+    @jax.jit
+    def corrupt_quality(ksp, gt):
+        return quality(ifft2c(ksp), gt)
+
+    cor_q = np.asarray(corrupt_quality(ksp, images))
+
+    print(
+        json.dumps(
+            {
+                "metric": "immoco_instance_fit_per_slice_latency",
+                "value": round(per_slice, 4),
+                "unit": "s/slice",
+                "vs_baseline": round(
+                    A100_REFERENCE_SECONDS_PER_SLICE / per_slice, 2
+                ),
+                "batch": batch,
+                "iters": iters,
+                "size": size,
+                "encoding": enc,
+                "ssim_fit": round(float(fit_q[0]), 4),
+                "psnr_fit": round(float(fit_q[1]), 2),
+                "ssim_corrupted": round(float(cor_q[0]), 4),
+                "psnr_corrupted": round(float(cor_q[1]), 2),
+                "device": str(jax.devices()[0]),
+                "baseline_note": "vs documented 4.0 s/slice A100 estimate (BASELINE.md)",
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -76,25 +76,27 @@ class IMMoCoModel:
     width: int
     image_inr: INRSpec
     motion_inr: INRSpec
-    id_grid: jnp.ndarray  # (H, W, 2), align_corners=True identity
+    # Statics: device arrays that jitted callers MUST receive as arguments
+    # (never closure constants — see models/inr.py statics discipline).
+    statics: Any
 
     def init(self, key) -> Dict[str, Any]:
         k1, k2 = jax.random.split(key)
         return {"image": self.image_inr.init(k1), "motion": self.motion_inr.init(k2)}
 
-    def predict_image(self, params) -> jnp.ndarray:
-        pair = self.image_inr.apply(params["image"])  # (H, W, 2)
+    def predict_image(self, params, statics) -> jnp.ndarray:
+        pair = self.image_inr.apply(params["image"], statics["image"])
         return jax.lax.complex(pair[..., 0], pair[..., 1])
 
-    def forward(self, params, masks: jnp.ndarray):
+    def forward(self, params, masks: jnp.ndarray, statics):
         """masks: (max_movements, H, W) float32, zero-padded group masks.
 
         Returns (kspace_out, image) exactly as immoco.py:82-113.
         """
-        image = self.predict_image(params)
+        image = self.predict_image(params, statics)
 
-        disp = jnp.tanh(self.motion_inr.apply(params["motion"]))  # (M, H, W, 2)
-        grids = disp + self.id_grid[None]
+        disp = jnp.tanh(self.motion_inr.apply(params["motion"], statics["motion"]))
+        grids = disp + statics["id_grid"][None]
 
         m = masks.shape[0]
         motion_images = grid_sample(
@@ -116,29 +118,38 @@ def build_immoco(cfg: InstanceFitConfig, height: int, width: int) -> IMMoCoModel
     motion_inr = build_inr(
         cfg.motion_inr, (cfg.max_movements, height, width), compute_dtype=dtype
     )
+    statics = {
+        "image": image_inr.statics,
+        "motion": motion_inr.statics,
+        "id_grid": jax.jit(identity_grid, static_argnums=(0, 1))(
+            (height, width), True
+        ),
+    }
     return IMMoCoModel(
         cfg=cfg,
         height=height,
         width=width,
         image_inr=image_inr,
         motion_inr=motion_inr,
-        id_grid=identity_grid((height, width), align_corners=True),
+        statics=statics,
     )
 
 
 def make_instance_fit(
     model: IMMoCoModel,
 ) -> Callable[[jnp.ndarray, jnp.ndarray, jax.Array], FitResult]:
-    """Build the jittable single-slice fit:  (kspace, masks, key) -> FitResult.
+    """Build the jittable single-slice fit:
+    (kspace, masks, key, statics) -> FitResult.
 
     kspace: (H, W) complex64 corrupted k-space.
     masks:  (max_movements, H, W) float32 zero-padded movement-group masks.
+    statics: model.statics, threaded as an argument (jit-friendly).
     """
     cfg = model.cfg
     lambdas = jnp.asarray(lambda_schedule(cfg))
     opt = optax.adam(cfg.learning_rate, b1=cfg.b1, b2=cfg.b2, eps=cfg.eps)
 
-    def fit(kspace, masks, key) -> FitResult:
+    def fit(kspace, masks, key, statics) -> FitResult:
         scale = jnp.abs(kspace).max()
         k_in = kspace / scale * cfg.kspace_scale
 
@@ -146,7 +157,7 @@ def make_instance_fit(
         opt_state = opt.init(params)
 
         def loss_fn(p, lam):
-            k_out, image = model.forward(p, masks)
+            k_out, image = model.forward(p, masks, statics)
             return real_pair_mse(k_out, k_in) + lam * gradient_entropy(image)
 
         def step(carry, lam):
@@ -158,7 +169,7 @@ def make_instance_fit(
 
         (params, _), losses = jax.lax.scan(step, (params, opt_state), lambdas)
 
-        k_fwd, image = model.forward(params, masks)
+        k_fwd, image = model.forward(params, masks, statics)
         descale = scale / cfg.kspace_scale
         return FitResult(
             image=image * descale, kspace_forward=k_fwd * descale, losses=losses
@@ -187,4 +198,4 @@ def motion_correct(
     if key is None:
         key = jax.random.PRNGKey(0)
     fit = jax.jit(make_instance_fit(model))
-    return fit(kspace, masks.astype(jnp.float32), key)
+    return fit(kspace, masks.astype(jnp.float32), key, model.statics)

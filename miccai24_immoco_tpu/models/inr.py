@@ -13,6 +13,13 @@ Two encoding backends (selected by config):
 - ``lattice`` — separable dense-pyramid encoding (ops/lattice.py), zero
                 gathers, MXU matmuls only.
 
+Statics discipline (important for TPU compile times): everything that is
+fixed per (lattice, config) — gather plans, interpolation matrices, raw
+coordinates — is materialized eagerly ONCE into ``INRSpec.statics`` and must
+be threaded through jitted callers as an *argument*.  Closing over these
+arrays would embed them as giant constants that XLA then constant-folds at
+every compile (minutes of compile time for the 3-D motion lattice).
+
 MLP head mirrors the reference configs (immoco.py:11-25): 1 hidden layer,
 256-wide ReLU for the Image INR, 64-wide Tanh for the Motion INR, linear
 2-feature output.  Optionally computes in bfloat16 (fp32 params/accums).
@@ -69,24 +76,31 @@ def apply_mlp(params, x: jnp.ndarray, cfg: MLPConfig, compute_dtype=jnp.float32)
 class INRSpec:
     """A compiled-shape INR bound to a fixed query lattice.
 
-    ``init(key)`` builds parameters; ``apply(params)`` evaluates the INR at
-    every lattice point, returning (*lattice_shape, out_features) fp32.
+    - ``statics``: pytree of device arrays (gather plans / interp matrices /
+      coordinates).  PASS AS A JIT ARGUMENT; never close over it.
+    - ``init(key)`` builds parameters.
+    - ``apply(params, statics)`` evaluates the INR at every lattice point,
+      returning (*lattice_shape, out_features) fp32.
     """
 
     init: Callable[[Any], Dict[str, Any]]
-    apply: Callable[[Dict[str, Any]], jnp.ndarray]
+    apply: Callable[[Dict[str, Any], Any], jnp.ndarray]
+    statics: Any
     feature_width: int
     lattice_shape: Tuple[int, ...]
 
 
 def _lattice_coords(lattice_shape: Sequence[int]) -> jnp.ndarray:
     """(N, d) meshgrid coordinates in [-1, 1], 'ij' indexing — identical to
-    the reference's make_grids (immoco.py:48-53) and, for 2-D, to the
-    identity affine grid with align_corners=True up to the (x, y) vs
-    (row, col) axis order handled by callers."""
+    the reference's make_grids (immoco.py:48-53)."""
     axes = [jnp.linspace(-1.0, 1.0, s, dtype=jnp.float32) for s in lattice_shape]
     mesh = jnp.meshgrid(*axes, indexing="ij")
     return jnp.stack(mesh, axis=-1).reshape(-1, len(lattice_shape))
+
+
+# Gather-plan budget: above this many (point x level x corner) entries the
+# plan arrays would dominate HBM, so hashing happens on the fly instead.
+_PLAN_ENTRY_BUDGET = 64_000_000
 
 
 def build_inr(inr_cfg, lattice_shape, compute_dtype=jnp.float32) -> INRSpec:
@@ -95,17 +109,22 @@ def build_inr(inr_cfg, lattice_shape, compute_dtype=jnp.float32) -> INRSpec:
     mlp_cfg: MLPConfig = inr_cfg.mlp
 
     if inr_cfg.encoding == "hash":
-        coords = _lattice_coords(lattice_shape)
-        width = inr_cfg.grid.num_features
         dims = len(lattice_shape)
-        # Precomputing the gather plan trades memory for removing all hashing
-        # from the scan body. For huge 3-D lattices (movements * H * W points
-        # x 16 levels x 8 corners) the plan would be GBs, so fall back to
-        # on-the-fly hashing there (XLA still fuses it into the step graph).
-        plan_entries = coords.shape[0] * inr_cfg.grid.num_levels * (2**dims)
-        use_plan = plan_entries <= 64_000_000
+        n_points = 1
+        for s in lattice_shape:
+            n_points *= s
+        plan_entries = n_points * inr_cfg.grid.num_levels * (2**dims)
+        use_plan = plan_entries <= _PLAN_ENTRY_BUDGET
+        width = inr_cfg.grid.num_features
+
+        coords = jax.jit(_lattice_coords, static_argnums=0)(lattice_shape)
         if use_plan:
-            indices, weights = hashgrid.precompute_corners(coords, inr_cfg.grid)
+            indices, weights = jax.jit(
+                hashgrid.precompute_corners, static_argnums=1
+            )(coords, inr_cfg.grid)
+            statics = {"indices": indices, "weights": weights}
+        else:
+            statics = {"coords": coords}
 
         def init(key):
             k_enc, k_mlp = jax.random.split(key)
@@ -114,17 +133,22 @@ def build_inr(inr_cfg, lattice_shape, compute_dtype=jnp.float32) -> INRSpec:
                 "mlp": init_mlp(k_mlp, width, mlp_cfg),
             }
 
-        def apply(params):
+        def apply(params, statics):
             if use_plan:
-                feats = hashgrid.encode_with_plan(params["enc"], indices, weights)
+                feats = hashgrid.encode_with_plan(
+                    params["enc"], statics["indices"], statics["weights"]
+                )
             else:
-                feats = hashgrid.hash_encode(params["enc"], coords, inr_cfg.grid)
+                feats = hashgrid.hash_encode(
+                    params["enc"], statics["coords"], inr_cfg.grid
+                )
             out = apply_mlp(params["mlp"], feats, mlp_cfg, compute_dtype)
             return out.reshape(*lattice_shape, mlp_cfg.out_features)
 
     elif inr_cfg.encoding == "lattice":
         plan = lattice.lattice_plan(inr_cfg.lattice, lattice_shape)
         width = lattice.feature_width(inr_cfg.lattice, lattice_shape)
+        statics = {"plan": plan}
 
         def init(key):
             k_enc, k_mlp = jax.random.split(key)
@@ -135,13 +159,17 @@ def build_inr(inr_cfg, lattice_shape, compute_dtype=jnp.float32) -> INRSpec:
                 "mlp": init_mlp(k_mlp, width, mlp_cfg),
             }
 
-        def apply(params):
-            feats = lattice.lattice_encode(params["enc"], plan)
+        def apply(params, statics):
+            feats = lattice.lattice_encode(params["enc"], statics["plan"])
             return apply_mlp(params["mlp"], feats, mlp_cfg, compute_dtype)
 
     else:
         raise ValueError(f"unknown encoding: {inr_cfg.encoding!r}")
 
     return INRSpec(
-        init=init, apply=apply, feature_width=width, lattice_shape=lattice_shape
+        init=init,
+        apply=apply,
+        statics=statics,
+        feature_width=width,
+        lattice_shape=lattice_shape,
     )

@@ -34,9 +34,13 @@ from miccai24_immoco_tpu.models.immoco import (
 
 
 def make_batched_fit(model: IMMoCoModel) -> Callable:
-    """(B,H,W) kspace, (B,M,H,W) masks, (B,) keys -> batched FitResult."""
+    """(B,H,W) kspace, (B,M,H,W) masks, (B,2) keys, statics -> FitResult.
+
+    statics (model.statics) is shared across the batch (in_axes=None) and
+    must be passed as an argument per the statics discipline (models/inr.py).
+    """
     fit = make_instance_fit(model)
-    return jax.vmap(fit)
+    return jax.vmap(fit, in_axes=(0, 0, 0, None))
 
 
 def make_sharded_fit(model: IMMoCoModel, mesh: Mesh) -> Callable:
@@ -44,16 +48,19 @@ def make_sharded_fit(model: IMMoCoModel, mesh: Mesh) -> Callable:
 
     The batch must be divisible by the dp axis size.  Inputs may live on
     host or any device; jit re-shards them to the declared shardings.
+    statics are replicated across the mesh.
     """
     vfit = make_batched_fit(model)
 
     dp3 = NamedSharding(mesh, P("dp", None, None))
     dp4 = NamedSharding(mesh, P("dp", None, None, None))
     dp2 = NamedSharding(mesh, P("dp", None))
+    repl = NamedSharding(mesh, P())
+    statics_sh = jax.tree.map(lambda _: repl, model.statics)
 
     return jax.jit(
         vfit,
-        in_shardings=(dp3, dp4, dp2),
+        in_shardings=(dp3, dp4, dp2, statics_sh),
         out_shardings=FitResult(image=dp3, kspace_forward=dp3, losses=dp2),
     )
 
@@ -75,4 +82,4 @@ def batched_motion_correct(
         run = jax.jit(make_batched_fit(model))
     else:
         run = make_sharded_fit(model, mesh)
-    return run(kspaces, masks.astype(jnp.float32), keys)
+    return run(kspaces, masks.astype(jnp.float32), keys, model.statics)

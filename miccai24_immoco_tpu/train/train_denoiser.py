@@ -1,0 +1,186 @@
+"""U-Net denoiser training: image-space motion-artifact removal.
+
+Recipe parity with reference train_unet_denoiser.py:
+
+- Unet(1, 1, chans 32, 6 pools, InstanceNorm) (:28-42)
+- AdamW lr 3e-4 + CosineAnnealingLR over the step budget (:45-48; the
+  reference steps the scheduler per *sample* inside 200 epochs)
+- per-sample on-the-fly motion corruption; input |IFFT(k_motion)| / std,
+  target |IFFT(k_clean)| / same std (:120-132)
+- loss = 0.16 * L1(min-max-normalized pair) + 0.84 * (1 - ssim) with the
+  pytorch_msssim conventions the reference hits: data_range=255 default and
+  nonnegative (ReLU'd) SSIM (:51-59 — replicated verbatim, including that
+  the L1 term normalizes but the SSIM term does not)
+- checkpoint gate: validation SSIM improvement vs corrupted >= 10 SSIM
+  points (:77-78,:200-210)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from miccai24_immoco_tpu.config import MotionSimConfig, UnetConfig
+from miccai24_immoco_tpu.models.unet import Unet, build_unet
+from miccai24_immoco_tpu.ops.fft import ifft2c
+from miccai24_immoco_tpu.ops.metrics import ssim as ssim_metric
+from miccai24_immoco_tpu.ops.motion_sim import simulate_motion_batch
+
+
+@dataclasses.dataclass(frozen=True)
+class DenoiserTrainConfig:
+    steps: int = 200
+    batch_size: int = 1
+    learning_rate: float = 3e-4
+    seed: int = 128
+    ssim_diff_gate: float = 10.0  # best_ssim_diff init (reference :78)
+
+
+def _minmax(x):
+    return (x - x.min()) / (x.max() - x.min() + 1e-12)
+
+
+def _ssim_nonneg_255(x, y):
+    """pytorch_msssim.ssim defaults: data_range=255, nonnegative clamp.
+
+    Implemented via the shared gaussian-window SSIM with the per-window map
+    ReLU'd before averaging (nonnegative_ssim=True semantics)."""
+    # Reuse the valid-window machinery by computing the ssim map manually.
+    from miccai24_immoco_tpu.ops.metrics import (
+        _filter2d_valid,
+        _gaussian_kernel,
+    )
+
+    if x.ndim == 3:  # (B, H, W) -> (B, 1, H, W)
+        x = x[:, None]
+        y = y[:, None]
+    data_range = 255.0
+    xs = x / data_range
+    ys = y / data_range
+    c1, c2 = 0.01**2, 0.03**2
+    kern = _gaussian_kernel(11, 1.5)
+    mu_x = _filter2d_valid(xs, kern)
+    mu_y = _filter2d_valid(ys, kern)
+    sxx = _filter2d_valid(xs * xs, kern) - mu_x**2
+    syy = _filter2d_valid(ys * ys, kern) - mu_y**2
+    sxy = _filter2d_valid(xs * ys, kern) - mu_x * mu_y
+    cs = (2.0 * sxy + c2) / (sxx + syy + c2)
+    ss = (2.0 * mu_x * mu_y + c1) / (mu_x**2 + mu_y**2 + c1) * cs
+    return jnp.mean(jax.nn.relu(ss))
+
+
+def denoiser_loss(output, target):
+    """Reference loss_function (train_unet_denoiser.py:51-59)."""
+    l1 = jnp.abs(_minmax(output) - _minmax(target)).sum() / output.size
+    return (1 - 0.84) * l1 + 0.84 * (1.0 - _ssim_nonneg_255(target, output))
+
+
+def denoise_input(kspace: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(B, H, W) complex -> ((B, H, W, 1) net input, (B, 1, 1) scale)."""
+    img = jnp.abs(ifft2c(kspace))
+    scale = img.std(axis=(-2, -1), keepdims=True)
+    return (img / scale)[..., None], scale
+
+
+def make_denoiser_trainer(
+    net: Unet,
+    cfg: DenoiserTrainConfig,
+    sim_cfg: MotionSimConfig = MotionSimConfig(),
+    image_shape: Tuple[int, int] = (320, 320),
+):
+    h, w = image_shape
+    schedule = optax.cosine_decay_schedule(cfg.learning_rate, cfg.steps)
+    opt = optax.adamw(schedule)
+
+    def init_fn(key):
+        params = net.init(
+            {"params": key}, jnp.zeros((1, h, w, 1), jnp.float32), train=False
+        )["params"]
+        return params, opt.init(params)
+
+    @jax.jit
+    def train_step(params, opt_state, key, kspace_clean):
+        sample = simulate_motion_batch(key, ifft2c(kspace_clean), cfg=sim_cfg)
+        x, scale = denoise_input(sample.kspace)
+        target = jnp.abs(ifft2c(kspace_clean)) / scale
+
+        def loss_fn(p):
+            out = net.apply({"params": p}, x, train=True)[..., 0]
+            return denoiser_loss(out, target)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    @jax.jit
+    def eval_step(params, key, kspace_clean):
+        sample = simulate_motion_batch(key, ifft2c(kspace_clean), cfg=sim_cfg)
+        x, scale = denoise_input(sample.kspace)
+        target = jnp.abs(ifft2c(kspace_clean)) / scale
+        out = net.apply({"params": params}, x, train=False)[..., 0]
+
+        def nm(v):
+            return _minmax(v)[:, None]
+
+        s_fit = ssim_metric(nm(out), nm(target))
+        s_corrupt = ssim_metric(nm(x[..., 0]), nm(target))
+        return {
+            "loss": denoiser_loss(out, target),
+            "ssim": s_fit,
+            "ssim_gain": jnp.abs(s_fit - s_corrupt),
+        }
+
+    return init_fn, train_step, eval_step
+
+
+def denoise(net: Unet, params, kspace: jnp.ndarray) -> jnp.ndarray:
+    """Single-forward correction (reference test_unet_denoiser.py:53-71):
+    (B, H, W) complex corrupted k-space -> (B, H, W) magnitude images."""
+    x, scale = denoise_input(kspace)
+    out = net.apply({"params": params}, x, train=False)[..., 0]
+    return out * scale
+
+
+def train_denoiser(
+    kspace_train: jnp.ndarray,
+    kspace_val: jnp.ndarray,
+    cfg: DenoiserTrainConfig = DenoiserTrainConfig(),
+    sim_cfg: MotionSimConfig = MotionSimConfig(),
+    steps: Optional[int] = None,
+    log_every: int = 20,
+    log_fn: Callable[[int, Dict], None] = lambda i, s: None,
+):
+    steps = steps or cfg.steps
+    net = build_unet(UnetConfig(in_chans=1, out_chans=1, chans=32,
+                                num_pool_layers=6, norm="instance"))
+    h, w = kspace_train.shape[-2:]
+    init_fn, train_step, eval_step = make_denoiser_trainer(
+        net, cfg, sim_cfg, (h, w)
+    )
+    key = jax.random.PRNGKey(cfg.seed)
+    key, ik = jax.random.split(key)
+    params, opt_state = init_fn(ik)
+
+    best = None
+    best_gain = cfg.ssim_diff_gate / 100.0
+    n_train, n_val = kspace_train.shape[0], kspace_val.shape[0]
+    for i in range(steps):
+        key, bk, sk, vk, vs = jax.random.split(key, 5)
+        idx = jax.random.choice(bk, n_train, (min(cfg.batch_size, n_train),),
+                                replace=False)
+        params, opt_state, loss = train_step(params, opt_state, sk,
+                                             kspace_train[idx])
+        vidx = jax.random.choice(vk, n_val, (min(cfg.batch_size, n_val),),
+                                 replace=False)
+        stats = eval_step(params, vs, kspace_val[vidx])
+        if float(stats["ssim_gain"]) >= best_gain:
+            best_gain = float(stats["ssim_gain"])
+            best = jax.tree.map(lambda a: a.copy(), params)
+        if i % log_every == 0:
+            log_fn(i, {"loss_train": float(loss),
+                       **{k: float(v) for k, v in stats.items()}})
+    return net, params, best

@@ -82,11 +82,11 @@ def main():
         model = build_immoco(cfg, h, w)
         fit = jax.jit(make_instance_fit(model))
         t0 = time.perf_counter()
-        r = fit(ksp, masks, jax.random.PRNGKey(1))
+        r = fit(ksp, masks, jax.random.PRNGKey(1), model.statics)
         jax.block_until_ready(r.losses)
         t_compile = time.perf_counter() - t0
         t0 = time.perf_counter()
-        r = fit(ksp, masks, jax.random.PRNGKey(1))
+        r = fit(ksp, masks, jax.random.PRNGKey(1), model.statics)
         jax.block_until_ready(r.losses)
         t_run = time.perf_counter() - t0
         sf = np.asarray(score(r.image, img))

@@ -1,0 +1,53 @@
+"""Denoiser trainer tests (small shapes)."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from miccai24_immoco_tpu.config import UnetConfig
+from miccai24_immoco_tpu.data.synthetic import phantom_stack
+from miccai24_immoco_tpu.models.unet import build_unet
+from miccai24_immoco_tpu.ops.fft import fft2c
+from miccai24_immoco_tpu.train.train_denoiser import (
+    DenoiserTrainConfig,
+    denoise,
+    denoiser_loss,
+    make_denoiser_trainer,
+)
+
+
+def test_denoiser_loss_zero_for_identical(rng):
+    x = jnp.asarray(rng.random((1, 1, 32, 32)).astype(np.float32)) * 10
+    assert float(denoiser_loss(x, x)) < 1e-3
+
+
+def test_denoiser_loss_positive_for_noise(rng):
+    x = jnp.asarray(rng.random((1, 1, 32, 32)).astype(np.float32)) * 10
+    y = x + jnp.asarray(rng.standard_normal((1, 1, 32, 32)).astype(np.float32)) * 3
+    assert float(denoiser_loss(x, y)) > float(denoiser_loss(x, x))
+
+
+def test_denoiser_train_step_reduces_loss():
+    images = phantom_stack(4, 48, 48, seed=4)
+    ksp = fft2c(images)
+    net = build_unet(UnetConfig(in_chans=1, out_chans=1, chans=8,
+                                num_pool_layers=3, norm="instance"))
+    cfg = DenoiserTrainConfig(steps=25, batch_size=2, learning_rate=1e-3)
+    init_fn, train_step, eval_step = make_denoiser_trainer(
+        net, cfg, image_shape=(48, 48)
+    )
+    params, opt_state = init_fn(jax.random.PRNGKey(0))
+    key = jax.random.PRNGKey(1)
+    losses = []
+    for i in range(25):
+        key, sk = jax.random.split(key)
+        params, opt_state, loss = train_step(params, opt_state, sk, ksp[:2])
+        losses.append(float(loss))
+    assert losses[-1] < losses[0]
+    stats = eval_step(params, jax.random.PRNGKey(2), ksp[2:])
+    assert np.isfinite(float(stats["ssim"]))
+
+    out = denoise(net, params, ksp[:1])
+    assert out.shape == (1, 48, 48)
+    assert np.isfinite(np.asarray(out)).all()

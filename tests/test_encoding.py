@@ -136,7 +136,7 @@ def test_image_inr_shapes():
     cfg = ImageINRConfig(encoding="lattice")
     spec = inr_mod.build_inr(cfg, (12, 10))
     params = spec.init(jax.random.PRNGKey(0))
-    out = spec.apply(params)
+    out = spec.apply(params, spec.statics)
     assert out.shape == (12, 10, 2)
     assert np.isfinite(np.asarray(out)).all()
 
@@ -149,7 +149,7 @@ def test_motion_inr_shapes_hash():
     )
     spec = inr_mod.build_inr(cfg, (3, 8, 8))
     params = spec.init(jax.random.PRNGKey(1))
-    out = spec.apply(params)
+    out = spec.apply(params, spec.statics)
     assert out.shape == (3, 8, 8, 2)
 
 
@@ -180,7 +180,7 @@ def test_inr_trains_toward_target():
         @jax.jit
         def step(params, state):
             def loss_fn(p):
-                return jnp.mean((spec.apply(p) - target) ** 2)
+                return jnp.mean((spec.apply(p, spec.statics) - target) ** 2)
 
             loss, grads = jax.value_and_grad(loss_fn)(params)
             updates, state2 = opt.update(grads, state)

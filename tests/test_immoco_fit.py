@@ -94,8 +94,8 @@ def test_forward_model_padding_invariance():
 
     model = build_immoco(cfg4, 32, 32)
     params = model.init(jax.random.PRNGKey(1))
-    k_a, img_a = model.forward(params, masks4)
-    k_b, img_b = model.forward(params, masks4.at[3:].set(0.0))
+    k_a, img_a = model.forward(params, masks4, model.statics)
+    k_b, img_b = model.forward(params, masks4.at[3:].set(0.0), model.statics)
     np.testing.assert_allclose(np.asarray(k_a), np.asarray(k_b), atol=1e-3)
 
 
@@ -136,8 +136,8 @@ def test_fit_is_jit_compiled_once():
     masks, _ = extract_movement_groups(sim.mask[0], 32, 4)
     model = build_immoco(cfg, 32, 32)
     fit = jax.jit(make_instance_fit(model))
-    r1 = fit(sim.kspace, masks, jax.random.PRNGKey(0))
-    r2 = fit(sim.kspace, masks, jax.random.PRNGKey(0))
+    r1 = fit(sim.kspace, masks, jax.random.PRNGKey(0), model.statics)
+    r2 = fit(sim.kspace, masks, jax.random.PRNGKey(0), model.statics)
     np.testing.assert_allclose(
         np.asarray(r1.image), np.asarray(r2.image), atol=1e-6
     )
