@@ -1,0 +1,120 @@
+"""Data-prep tests against tiny synthetic fastMRI-shaped h5 volumes."""
+
+import json
+import os
+
+import h5py
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from miccai24_immoco_tpu.config import DataConfig
+from miccai24_immoco_tpu.data import fastmri_io as io
+from miccai24_immoco_tpu.ops.complex_utils import rss_complex
+from miccai24_immoco_tpu.ops.fft import fft2c, ifft2c
+
+
+HEADER = (
+    "<?xml version='1.0'?><ismrmrdHeader><acquisitionSystemInformation>"
+    "<systemFieldStrength_T>{fs}</systemFieldStrength_T>"
+    "</acquisitionSystemInformation></ismrmrdHeader>"
+)
+
+
+def make_volume(path, fs="2.89", acq="CORPDFS_FBK", slices=3, coils=2, hw=48,
+                seed=0):
+    rng = np.random.default_rng(seed)
+    ks = (
+        rng.standard_normal((slices, coils, hw, hw))
+        + 1j * rng.standard_normal((slices, coils, hw, hw))
+    ).astype(np.complex64)
+    with h5py.File(path, "w") as f:
+        f.create_dataset("kspace", data=ks)
+        f.create_dataset(
+            "ismrmrd_header", data=HEADER.format(fs=fs).encode()
+        )
+        f.attrs["acquisition"] = acq
+    return ks
+
+
+def test_header_parsing(tmp_path):
+    p = str(tmp_path / "a.h5")
+    make_volume(p, fs="1.494")
+    with h5py.File(p, "r") as f:
+        assert io.field_strength(f) == 1.5
+        assert io.acquisition_type(f) == "PDFS"
+    p2 = str(tmp_path / "b.h5")
+    make_volume(p2, fs="2.89", acq="CORPD_FBK")
+    with h5py.File(p2, "r") as f:
+        assert io.field_strength(f) == 3.0
+        assert io.acquisition_type(f) == "PD"
+
+
+def test_split_filters_pdfs(tmp_path):
+    root = tmp_path / "fastmri"
+    for split in ("train", "val", "test"):
+        d = root / split
+        d.mkdir(parents=True)
+        make_volume(str(d / "pdfs1.h5"), acq="CORPDFS_FBK", seed=1)
+        make_volume(str(d / "pd1.h5"), acq="CORPD_FBK", seed=2)
+    out = io.create_data_split(str(root), str(tmp_path / "out"), counts=(1, 1, 1))
+    for split, path in out.items():
+        with h5py.File(path, "r") as f:
+            assert list(f.keys()) == ["pdfs1.h5"]
+
+
+def test_prepare_slice_matches_reference_semantics(tmp_path):
+    """prepare_data: IFFT -> center crop -> separate-Re/Im RSS -> FFT."""
+    rng = np.random.default_rng(3)
+    coils, H, W, crop = 2, 40, 44, 32
+    ks = (rng.standard_normal((coils, H, W)) +
+          1j * rng.standard_normal((coils, H, W))).astype(np.complex64)
+    out_ks, out_img = io.prepare_slice(ks, crop=crop)
+
+    img = ifft2c(jnp.asarray(ks))
+    cy, cx = H // 2 - crop // 2, W // 2 - crop // 2
+    img = img[:, cy : cy + crop, cx : cx + crop]
+    expect_img = rss_complex(img, axis=0)
+    np.testing.assert_allclose(
+        np.asarray(out_img.real), np.asarray(expect_img.real), atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_ks.real), np.asarray(fft2c(expect_img).real), atol=1e-2
+    )
+
+
+def test_preprocess_and_corpus_roundtrip(tmp_path):
+    root = tmp_path / "fastmri"
+    d = root / "test"
+    d.mkdir(parents=True)
+    for i in range(2):
+        make_volume(str(d / f"v{i}.h5"), seed=10 + i, hw=48)
+    out = io.create_data_split(str(root / ".."), "", counts=(0, 0, 2)) if False else None
+
+    consolidated = str(tmp_path / "_test_data.h5")
+    with h5py.File(consolidated, "w") as f:
+        for i in range(2):
+            with h5py.File(str(d / f"v{i}.h5"), "r") as hf:
+                f.create_dataset(f"v{i}.h5", data=hf["kspace"][:])
+
+    stack = io.preprocess_dataset(
+        consolidated, out_npz=str(tmp_path / "train.npz"), crop=32
+    )
+    assert stack.shape == (2, 32, 32) and stack.dtype == np.complex64
+    loaded = io.load_kspace_npz(str(tmp_path / "train.npz"))
+    np.testing.assert_allclose(loaded, stack, atol=1e-6)
+
+    cfg = DataConfig(crop_size=32, light_movements=(2, 4), heavy_movements=(4, 6))
+    res = io.motion_test_data(
+        consolidated, str(tmp_path / "corpus"), cfg=cfg, max_movements=8
+    )
+    assert set(res) == {"light", "heavy"}
+    corpus = io.load_test_corpus(res["light"]["path"])
+    assert corpus["kspace_motion"].shape == (2, 32, 32)
+    assert corpus["image_rss"].shape == (2, 32, 32)
+    assert corpus["mask"].shape == (2, 32, 32)
+    assert len(corpus["metrics"]) == 2
+    assert all(np.isfinite(m["psnr"]) for m in corpus["metrics"])
+    # Masks actually mark corrupted columns.
+    assert corpus["mask"].sum() > 0
