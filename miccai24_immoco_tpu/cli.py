@@ -1,0 +1,311 @@
+"""Command-line interface.
+
+The reference has no CLI — every workflow is a bare ``python src/...`` script
+with hardcoded paths (SURVEY.md §5).  This consolidates them:
+
+  prepare-data   <- src/utils/prepareData.py main()
+  train-kld      <- src/train/train_kld_net.py
+  train-denoiser <- src/train/train_unet_denoiser.py
+  eval-immoco    <- src/test/test_immoco.py
+  eval-autofocus <- src/test/test_autofocusing.py
+  eval-denoiser  <- src/test/test_unet_denoiser.py
+  eval-kld       <- src/test/test_klinedetect.py
+  bench          <- (new) wall-clock benchmark
+
+Checkpoints are orbax-saved pytrees.  Corpora are npz (data/fastmri_io).
+``--synthetic N`` on eval/train commands substitutes phantom corpora when no
+fastMRI data is mounted.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+from typing import Optional
+
+import numpy as np
+
+
+def _load_ckpt(path):
+    import orbax.checkpoint as ocp
+
+    ckpt = ocp.StandardCheckpointer()
+    return ckpt.restore(os.path.abspath(path))
+
+
+def _save_ckpt(path, tree):
+    import orbax.checkpoint as ocp
+
+    ckpt = ocp.StandardCheckpointer()
+    ckpt.save(os.path.abspath(path), tree)
+    ckpt.wait_until_finished()
+
+
+def _synthetic_corpus(n: int, size: int, scenario: str, seed: int = 0):
+    import jax
+    import jax.numpy as jnp
+
+    from miccai24_immoco_tpu.data.synthetic import phantom_stack
+    from miccai24_immoco_tpu.ops.fft import fft2c
+    from miccai24_immoco_tpu.ops.motion_sim import simulate_motion_batch
+    from miccai24_immoco_tpu.utils.hostio import get_complex
+
+    n_mov = {"light": 8, "heavy": 18}[scenario]
+    images = phantom_stack(n, size, size, seed=seed)
+    sims = simulate_motion_batch(
+        jax.random.PRNGKey(seed), images, n_movements=n_mov, max_movements=24
+    )
+    return {
+        "kspace_motion": get_complex(sims.kspace),
+        "image_rss": get_complex(images),
+        "mask": np.asarray(sims.mask),
+    }
+
+
+def _get_corpus(args, scenario: str):
+    from miccai24_immoco_tpu.data.fastmri_io import load_test_corpus
+
+    if args.corpus:
+        return load_test_corpus(
+            os.path.join(args.corpus, f"_test_data_{scenario}.npz")
+        )
+    return _synthetic_corpus(args.synthetic, args.size, scenario)
+
+
+def cmd_prepare_data(args):
+    from miccai24_immoco_tpu.data import fastmri_io as io
+
+    paths = io.create_data_split(args.src, args.dst)
+    print(json.dumps(paths, indent=2))
+    for split in ("train", "val"):
+        io.preprocess_dataset(
+            paths[split],
+            out_npz=os.path.join(args.dst, f"{split}_files", f"_{split}_data.npz"),
+        )
+    res = io.motion_test_data(
+        paths["test"], os.path.join(args.dst, "test_files")
+    )
+    for scenario, r in res.items():
+        ms = r["metrics"]
+        print(
+            scenario,
+            "corruption baseline:",
+            {
+                k: f"{np.mean([m[k] for m in ms]):.4f}"
+                for k in ("ssim", "psnr", "haar_psi", "rmse")
+            },
+        )
+
+
+def _train_kspace_stacks(args):
+    import jax
+
+    from miccai24_immoco_tpu.data.fastmri_io import load_kspace_npz
+    from miccai24_immoco_tpu.data.synthetic import phantom_stack
+    from miccai24_immoco_tpu.ops.fft import fft2c
+
+    if args.train_npz:
+        train = load_kspace_npz(args.train_npz)
+        val = load_kspace_npz(args.val_npz) if args.val_npz else train[:8]
+        from miccai24_immoco_tpu.utils.hostio import put_complex
+
+        return put_complex(train), put_complex(val)
+    images = phantom_stack(args.synthetic, args.size, args.size, seed=0)
+    ksp = jax.jit(fft2c)(images)
+    n_val = max(args.synthetic // 5, 1)
+    return ksp[:-n_val], ksp[-n_val:]
+
+
+def cmd_train_kld(args):
+    from miccai24_immoco_tpu.config import KLDTrainConfig
+    from miccai24_immoco_tpu.train.train_kld import train_kld_net
+
+    train, val = _train_kspace_stacks(args)
+    cfg = KLDTrainConfig(steps=args.steps)
+    state = train_kld_net(
+        train, val, cfg=cfg, steps=args.steps,
+        log_fn=lambda i, s: print(i, json.dumps(s)),
+    )
+    _save_ckpt(args.out, state.best_params or state.params)
+    print(f"saved {args.out} (best dice {state.best_dice:.4f})")
+
+
+def cmd_train_denoiser(args):
+    from miccai24_immoco_tpu.train.train_denoiser import (
+        DenoiserTrainConfig,
+        train_denoiser,
+    )
+
+    train, val = _train_kspace_stacks(args)
+    net, params, best = train_denoiser(
+        train, val, DenoiserTrainConfig(steps=args.steps), steps=args.steps,
+        log_fn=lambda i, s: print(i, json.dumps(s)),
+    )
+    _save_ckpt(args.out, best if best is not None else params)
+    print(f"saved {args.out}")
+
+
+def _load_kld(args):
+    if not args.kld_ckpt:
+        return None
+    from miccai24_immoco_tpu.models.unet import build_kld_net
+
+    return {"net": build_kld_net(), "params": _load_ckpt(args.kld_ckpt)}
+
+
+def cmd_eval_immoco(args):
+    from miccai24_immoco_tpu.config import InstanceFitConfig
+    from miccai24_immoco_tpu.eval.harness import save_report
+    from miccai24_immoco_tpu.eval.runners import run_immoco
+
+    cfg = InstanceFitConfig(iters=args.iters)
+    kld = _load_kld(args)
+    per_scenario = {}
+    for scenario in args.scenarios.split(","):
+        corpus = _get_corpus(args, scenario)
+        metrics, _ = run_immoco(corpus, cfg, kld=kld, limit=args.limit)
+        per_scenario[scenario] = metrics
+    save_report(per_scenario, args.out_dir, "immoco")
+    print(json.dumps({s: _agg(m) for s, m in per_scenario.items()}, indent=2))
+
+
+def cmd_eval_autofocus(args):
+    from miccai24_immoco_tpu.eval.harness import save_report
+    from miccai24_immoco_tpu.eval.runners import run_autofocusing
+
+    kld = _load_kld(args)
+    per_scenario = {}
+    for scenario in args.scenarios.split(","):
+        corpus = _get_corpus(args, scenario)
+        per_scenario[scenario] = run_autofocusing(
+            corpus, kld=kld, limit=args.limit
+        )
+    save_report(per_scenario, args.out_dir, "autofocusing")
+    print(json.dumps({s: _agg(m) for s, m in per_scenario.items()}, indent=2))
+
+
+def cmd_eval_denoiser(args):
+    from miccai24_immoco_tpu.eval.harness import save_report
+    from miccai24_immoco_tpu.eval.runners import run_denoiser
+    from miccai24_immoco_tpu.models.unet import build_denoiser
+
+    net = build_denoiser()
+    params = _load_ckpt(args.ckpt)
+    per_scenario = {}
+    for scenario in args.scenarios.split(","):
+        corpus = _get_corpus(args, scenario)
+        per_scenario[scenario] = run_denoiser(corpus, net, params,
+                                              limit=args.limit)
+    save_report(per_scenario, args.out_dir, "unet_denoiser")
+    print(json.dumps({s: _agg(m) for s, m in per_scenario.items()}, indent=2))
+
+
+def cmd_eval_kld(args):
+    from miccai24_immoco_tpu.eval.runners import run_kld
+    from miccai24_immoco_tpu.models.unet import build_kld_net
+
+    net = build_kld_net()
+    params = _load_ckpt(args.ckpt)
+    out = {}
+    for scenario in args.scenarios.split(","):
+        corpus = _get_corpus(args, scenario)
+        ms = run_kld(corpus, net, params, limit=args.limit)
+        out[scenario] = {
+            k: float(np.mean([m[k] for m in ms])) for k in ms[0]
+        }
+    print(json.dumps(out, indent=2))
+
+
+def cmd_bench(args):
+    os.environ.setdefault("BENCH_BATCH", str(args.batch))
+    os.environ.setdefault("BENCH_ITERS", str(args.iters))
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, root)
+    import bench
+
+    bench.main()
+
+
+def _agg(metrics):
+    return {
+        k: {
+            "mean": float(np.mean([m[k] for m in metrics])),
+            "std": float(np.std([m[k] for m in metrics])),
+        }
+        for k in metrics[0]
+    }
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser("immoco-tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    d = sub.add_parser("prepare-data")
+    d.add_argument("--src", required=True, help="fastMRI root (train/val/test)")
+    d.add_argument("--dst", required=True)
+    d.set_defaults(fn=cmd_prepare_data)
+
+    def common_train(sp):
+        sp.add_argument("--train-npz")
+        sp.add_argument("--val-npz")
+        sp.add_argument("--synthetic", type=int, default=16)
+        sp.add_argument("--size", type=int, default=320)
+        sp.add_argument("--steps", type=int, required=True)
+        sp.add_argument("--out", required=True)
+
+    t = sub.add_parser("train-kld")
+    common_train(t)
+    t.set_defaults(fn=cmd_train_kld)
+
+    t = sub.add_parser("train-denoiser")
+    common_train(t)
+    t.set_defaults(fn=cmd_train_denoiser)
+
+    def common_eval(sp):
+        sp.add_argument("--corpus", help="dir with _test_data_{scenario}.npz")
+        sp.add_argument("--synthetic", type=int, default=8)
+        sp.add_argument("--size", type=int, default=320)
+        sp.add_argument("--scenarios", default="light,heavy")
+        sp.add_argument("--limit", type=int)
+        sp.add_argument("--out-dir", default="results")
+        sp.add_argument("--kld-ckpt")
+
+    e = sub.add_parser("eval-immoco")
+    common_eval(e)
+    e.add_argument("--iters", type=int, default=200)
+    e.set_defaults(fn=cmd_eval_immoco)
+
+    e = sub.add_parser("eval-autofocus")
+    common_eval(e)
+    e.set_defaults(fn=cmd_eval_autofocus)
+
+    e = sub.add_parser("eval-denoiser")
+    common_eval(e)
+    e.add_argument("--ckpt", required=True)
+    e.set_defaults(fn=cmd_eval_denoiser)
+
+    e = sub.add_parser("eval-kld")
+    common_eval(e)
+    e.add_argument("--ckpt", required=True)
+    e.set_defaults(fn=cmd_eval_kld)
+
+    b = sub.add_parser("bench")
+    b.add_argument("--batch", type=int, default=4)
+    b.add_argument("--iters", type=int, default=200)
+    b.set_defaults(fn=cmd_bench)
+
+    return p
+
+
+def main(argv=None):
+    from miccai24_immoco_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
+    args = build_parser().parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

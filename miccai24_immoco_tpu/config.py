@@ -120,6 +120,10 @@ class InstanceFitConfig:
     learning_rate: float = 1e-2
     lambda_ge: float = 1e-2
     kspace_scale: float = 16000.0
+    # Lambda-decay variant: "main" replicates immoco.py:180-181; "downstream"
+    # replicates the near-duplicate in test_immoco_downstream.py:188-189
+    # (halve when j % 10 == 0 and j > 80; k-space scaled x8000 there).
+    schedule_variant: str = "main"
     # Adam (torch defaults, immoco.py:149-154)
     b1: float = 0.9
     b2: float = 0.999

@@ -1,0 +1,191 @@
+"""End-to-end method runners over frozen test corpora.
+
+Each runner mirrors one reference evaluation script (SURVEY.md C22):
+
+- ``run_immoco``        <- src/test/test_immoco.py: klD-Net mask inference ->
+  movement-group extraction -> 200-iter instance fit -> quarter-crop metrics
+- ``run_autofocusing``  <- src/test/test_autofocusing.py
+- ``run_afplus``        <- src/test/test_afplus_original.py
+- ``run_denoiser``      <- src/test/test_unet_denoiser.py
+- ``run_kld``           <- src/test/test_klinedetect.py (mask quality)
+
+All runners consume a corpus dict (data/fastmri_io.load_test_corpus format)
+and return per-slice metric dicts; reporting goes through eval/harness.
+
+Mask source: a trained klD-Net (pass net+params) or the corpus's stored
+ground-truth masks ("oracle" mode — useful before a detector is trained and
+for isolating correction quality from detection quality).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, List, Optional, Sequence
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from miccai24_immoco_tpu.config import (
+    AFPlusConfig,
+    AutofocusingConfig,
+    InstanceFitConfig,
+)
+from miccai24_immoco_tpu.eval.harness import METRIC_NAMES, _slice_metrics
+from miccai24_immoco_tpu.models.af_plus import make_afplus_fit
+from miccai24_immoco_tpu.models.autofocusing import make_autofocus_fit
+from miccai24_immoco_tpu.models.immoco import build_immoco, make_instance_fit
+from miccai24_immoco_tpu.ops.fft import ifft2c
+from miccai24_immoco_tpu.ops.masks import extract_movement_groups
+from miccai24_immoco_tpu.train.train_kld import (
+    mask_to_line_indicators,
+    predict_line_mask,
+)
+from miccai24_immoco_tpu.utils.hostio import put_complex
+
+
+def _metrics_dict(pred, gt) -> Dict[str, float]:
+    vals = np.asarray(_slice_metrics(jnp.abs(pred), jnp.abs(gt)))
+    return {k: float(v) for k, v in zip(METRIC_NAMES, vals)}
+
+
+def _line_indicators(
+    kspace: jnp.ndarray,
+    gt_mask: Optional[np.ndarray],
+    kld: Optional[dict],
+) -> jnp.ndarray:
+    """(H, W) k-space -> (W,) corrupted-column indicators."""
+    if kld is not None:
+        mask = predict_line_mask(kld["net"], kld["params"], kspace[None])[0]
+        return mask_to_line_indicators(mask)
+    if gt_mask is None:
+        raise ValueError("need either a klD-Net or ground-truth masks")
+    return jnp.asarray(gt_mask[0] > 0)
+
+
+def run_immoco(
+    corpus: dict,
+    cfg: InstanceFitConfig = InstanceFitConfig(),
+    kld: Optional[dict] = None,
+    key: Optional[jax.Array] = None,
+    limit: Optional[int] = None,
+    collect_images: bool = False,
+):
+    """Returns (per-slice metrics list, optional images dict of last slice)."""
+    ks_all = corpus["kspace_motion"]
+    gt_all = corpus["image_rss"]
+    masks_all = corpus.get("mask")
+    n = ks_all.shape[0] if limit is None else min(limit, ks_all.shape[0])
+    h, w = ks_all.shape[-2:]
+
+    model = build_immoco(cfg, h, w)
+    fit = jax.jit(make_instance_fit(model))
+    if key is None:
+        key = jax.random.PRNGKey(0)
+
+    metrics: List[Dict[str, float]] = []
+    last_images = None
+    for i in range(n):
+        ksp = put_complex(ks_all[i])
+        gt = put_complex(gt_all[i])
+        ind = _line_indicators(
+            ksp, None if masks_all is None else masks_all[i], kld
+        )
+        masks, _ = extract_movement_groups(ind, h, cfg.max_movements)
+        key, sub = jax.random.split(key)
+        result = fit(ksp, masks, sub, model.statics)
+        metrics.append(_metrics_dict(result.image, gt))
+        if collect_images and i == n - 1:
+            last_images = {
+                "Motion corrupted image": np.abs(np.asarray(ifft2c(ksp).real))
+                + 1j * 0,
+                "Motion corrected image": np.abs(
+                    np.asarray(jnp.abs(result.image))
+                ),
+                "Ground truth image": np.asarray(jnp.abs(gt)),
+            }
+    return metrics, last_images
+
+
+def run_autofocusing(
+    corpus: dict,
+    cfg: AutofocusingConfig = AutofocusingConfig(),
+    kld: Optional[dict] = None,
+    limit: Optional[int] = None,
+):
+    ks_all = corpus["kspace_motion"]
+    gt_all = corpus["image_rss"]
+    masks_all = corpus.get("mask")
+    n = ks_all.shape[0] if limit is None else min(limit, ks_all.shape[0])
+    h, w = ks_all.shape[-2:]
+    fit = jax.jit(make_autofocus_fit(cfg))
+
+    metrics = []
+    for i in range(n):
+        ksp = put_complex(ks_all[i])
+        gt = put_complex(gt_all[i])
+        ind = _line_indicators(
+            ksp, None if masks_all is None else masks_all[i], kld
+        )
+        masks, _ = extract_movement_groups(ind, h, cfg.max_movements)
+        result = fit(ksp, masks)
+        metrics.append(_metrics_dict(result.image, gt))
+    return metrics
+
+
+def run_afplus(
+    corpus: dict,
+    metric_fn: Callable[[jnp.ndarray], jnp.ndarray],
+    cfg: AFPlusConfig = AFPlusConfig(),
+    limit: Optional[int] = None,
+):
+    ks_all = corpus["kspace_motion"]
+    gt_all = corpus["image_rss"]
+    n = ks_all.shape[0] if limit is None else min(limit, ks_all.shape[0])
+    fit = jax.jit(make_afplus_fit(metric_fn, cfg))
+    metrics = []
+    for i in range(n):
+        result = fit(put_complex(ks_all[i]))
+        metrics.append(_metrics_dict(result.image, put_complex(gt_all[i])))
+    return metrics
+
+
+def run_denoiser(corpus: dict, net, params, limit: Optional[int] = None):
+    from miccai24_immoco_tpu.train.train_denoiser import denoise
+
+    ks_all = corpus["kspace_motion"]
+    gt_all = corpus["image_rss"]
+    n = ks_all.shape[0] if limit is None else min(limit, ks_all.shape[0])
+    metrics = []
+    for i in range(n):
+        out = denoise(net, params, put_complex(ks_all[i])[None])[0]
+        metrics.append(_metrics_dict(out, put_complex(gt_all[i])))
+    return metrics
+
+
+def run_kld(corpus: dict, net, params, limit: Optional[int] = None):
+    """Mask-quality metrics (dice/IoU/sens/spec/prec/F1) per slice, the
+    test_klinedetect.py protocol."""
+    from miccai24_immoco_tpu.ops.metrics import (
+        classification_metrics,
+        dice_coef,
+        iou_coef,
+    )
+
+    ks_all = corpus["kspace_motion"]
+    masks_all = corpus["mask"]
+    n = ks_all.shape[0] if limit is None else min(limit, ks_all.shape[0])
+    out = []
+    for i in range(n):
+        pred = predict_line_mask(net, params, put_complex(ks_all[i])[None])[0]
+        gt = jnp.asarray(masks_all[i]).astype(jnp.float32)
+        predf = pred.astype(jnp.float32)
+        stats = {
+            "dice": float(dice_coef(predf, gt)),
+            "iou": float(iou_coef(predf, gt)),
+        }
+        stats.update(
+            {k: float(v) for k, v in classification_metrics(predf, gt).items()}
+        )
+        out.append(stats)
+    return out

@@ -62,7 +62,11 @@ def lambda_schedule(cfg: InstanceFitConfig) -> np.ndarray:
     decade = max(cfg.iters // 10, 1)
     for j in range(cfg.iters):
         sched[j] = lam
-        if (j % decade) != 0 and j > (cfg.iters // 2):
+        if cfg.schedule_variant == "downstream":
+            # test_immoco_downstream.py:188-189 variant.
+            if j % 10 == 0 and j > 80:
+                lam *= 0.5
+        elif (j % decade) != 0 and j > (cfg.iters // 2):
             lam *= 0.5
     return sched
 
