@@ -1,0 +1,140 @@
+"""AF+ metric-network training: bilevel optimization through the unrolled
+autofocus inner loop.
+
+Recipe parity with reference train_afplus_original.py:110-235:
+
+- inner: 30 hand-rolled-Adam AF+ steps on per-line (x, y, rot) params,
+  differentiated through (torch needs create_graph=True; in JAX the unroll
+  is just part of the outer loss graph).  The *training* inner loop skips
+  the zero_middle freeze (the reference comments it out, :157-159) — kept.
+- input k-space normalized Ft((IFt(ks) - mean)/std) after simulation (:136)
+- outer loss = 0.16 * L1(minmax pair) + 0.84 * (1 - nonneg ssim@255) on the
+  corrected vs GT magnitudes x 1e4 (:69-74,:205-207), gradients accumulated
+  over 16 samples, global-norm clip 1.0, Adam lr 5e-5 + cosine (:105-106)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from miccai24_immoco_tpu.config import AFPlusConfig, MotionSimConfig, UnetConfig
+from miccai24_immoco_tpu.models.unet import Unet, build_unet
+from miccai24_immoco_tpu.models.af_plus import rotate_kspace
+from miccai24_immoco_tpu.ops.fft import fft2c, ifft2c
+from miccai24_immoco_tpu.ops.motion_sim import simulate_motion_2d
+from miccai24_immoco_tpu.train.train_denoiser import denoiser_loss
+
+
+@dataclasses.dataclass(frozen=True)
+class AFPlusTrainConfig:
+    steps: int = 200 * 50  # epochs x samples in the reference loop
+    inner_iters: int = 30
+    accumulate: int = 16
+    learning_rate: float = 5e-5
+    clip_norm: float = 1.0
+    seed: int = 228
+    nufft_oversamp: int = 5
+
+
+def afplus_inner_unrolled(
+    metric_fn: Callable[[jnp.ndarray], jnp.ndarray],
+    ks: jnp.ndarray,
+    iters: int,
+    oversamp: int,
+    cfg: AFPlusConfig = AFPlusConfig(),
+):
+    """Run `iters` AF+ Adam steps, differentiable end-to-end; returns the
+    corrected k-space (the training variant without zero_middle)."""
+    ps = ks.shape[-1]
+    lin = jnp.linspace(0.0, float(ps), ps)
+    mag = jnp.abs(ks)
+    ang = jnp.angle(ks)
+
+    def transform(xs, ys, rot):
+        phase = -2.0 * math.pi * (
+            lin[:, None] * xs[None, :] + (ys * lin)[None, :]
+        )
+        new_k = mag * jnp.exp(1j * (ang + phase))
+        return rotate_kspace(new_k, rot, oversamp)
+
+    def inner_loss(xs, ys, rot):
+        img = jnp.abs(ifft2c(transform(xs, ys, rot)))
+        return jnp.mean(img * 1e4 * jax.nn.sigmoid(metric_fn(img * 1e4)))
+
+    b1, b2 = cfg.b1, cfg.b2
+    z = jnp.zeros((ps,), jnp.float32)
+    xs, ys, rot = z, z, z
+    m = [z] * 6
+    for _ in range(iters):  # static unroll: gradients flow through updates
+        gx, gy, gr = jax.grad(inner_loss, argnums=(0, 1, 2))(xs, ys, rot)
+        gx, gy, gr = gx * cfg.grad_scale, gy * cfg.grad_scale, gr * cfg.grad_scale
+        m = [
+            b1 * jax.lax.stop_gradient(m[0]) + (1 - b1) * gx,
+            b2 * jax.lax.stop_gradient(m[1]) + (1 - b2) * gx * gx + 1e-24,
+            b1 * jax.lax.stop_gradient(m[2]) + (1 - b1) * gy,
+            b2 * jax.lax.stop_gradient(m[3]) + (1 - b2) * gy * gy + 1e-24,
+            b1 * m[4] + (1 - b1) * gr,
+            b2 * m[5] + (1 - b2) * gr * gr + 1e-24,
+        ]
+        xs = xs - cfg.learning_rate * m[0] * jax.lax.rsqrt(m[1])
+        ys = ys - cfg.learning_rate * m[2] * jax.lax.rsqrt(m[3])
+        rot = rot - cfg.learning_rate * m[4] * jax.lax.rsqrt(m[5])
+    return transform(xs, ys, rot)
+
+
+def make_afplus_trainer(
+    net: Unet,
+    cfg: AFPlusTrainConfig = AFPlusTrainConfig(),
+    sim_cfg: MotionSimConfig = MotionSimConfig(),
+    image_shape=(320, 320),
+):
+    h, w = image_shape
+    opt = optax.chain(
+        optax.clip_by_global_norm(cfg.clip_norm),
+        optax.adam(
+            optax.cosine_decay_schedule(
+                cfg.learning_rate, max(cfg.steps // cfg.accumulate, 1)
+            )
+        ),
+    )
+    opt = optax.MultiSteps(opt, cfg.accumulate)
+
+    def init_fn(key):
+        params = net.init(
+            {"params": key}, jnp.zeros((1, h, w, 1), jnp.float32), train=False
+        )["params"]
+        return params, opt.init(params)
+
+    def metric_fn_of(params):
+        return lambda img: net.apply(
+            {"params": params}, img[None, :, :, None], train=False
+        )[0, :, :, 0]
+
+    @jax.jit
+    def train_step(params, opt_state, key, kspace_clean):
+        gt_img = jnp.abs(ifft2c(kspace_clean))
+        sim = simulate_motion_2d(key, ifft2c(kspace_clean), cfg=sim_cfg)
+        img_c = ifft2c(sim.kspace)
+        ks = fft2c(
+            (img_c - jnp.abs(img_c).mean()) / (jnp.abs(img_c).std() + 1e-11)
+        )
+
+        def loss_fn(p):
+            yp_ks = afplus_inner_unrolled(
+                metric_fn_of(p), ks, cfg.inner_iters, cfg.nufft_oversamp
+            )
+            out = jnp.abs(ifft2c(yp_ks))[None, None] * 1e4
+            tgt = gt_img[None, None] * 1e4
+            return denoiser_loss(out, tgt)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    return init_fn, train_step, metric_fn_of

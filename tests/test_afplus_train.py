@@ -1,0 +1,47 @@
+"""AF+ metric-net bilevel training smoke test (tiny shapes)."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from miccai24_immoco_tpu.config import UnetConfig
+from miccai24_immoco_tpu.data.synthetic import phantom_stack
+from miccai24_immoco_tpu.models.unet import build_unet
+from miccai24_immoco_tpu.ops.fft import fft2c
+from miccai24_immoco_tpu.train.train_afplus import (
+    AFPlusTrainConfig,
+    afplus_inner_unrolled,
+    make_afplus_trainer,
+)
+
+
+def test_inner_unroll_differentiable():
+    img = phantom_stack(1, 24, 24, seed=2)[0]
+    ks = fft2c(img)
+
+    def outer(w):
+        metric = lambda x: x * w
+        out = afplus_inner_unrolled(metric, ks, iters=2, oversamp=2)
+        return jnp.abs(out).sum()
+
+    g = jax.grad(outer)(jnp.asarray(0.1))
+    assert np.isfinite(float(g))
+
+
+def test_afplus_trainer_step_runs():
+    img = phantom_stack(1, 24, 24, seed=3)[0]
+    ks = fft2c(img)
+    net = build_unet(UnetConfig(in_chans=1, out_chans=1, chans=4,
+                                num_pool_layers=2, norm="instance"))
+    cfg = AFPlusTrainConfig(steps=4, inner_iters=2, accumulate=2,
+                            nufft_oversamp=2)
+    init_fn, train_step, metric_fn_of = make_afplus_trainer(
+        net, cfg, image_shape=(24, 24)
+    )
+    params, opt_state = init_fn(jax.random.PRNGKey(0))
+    for i in range(2):
+        params, opt_state, loss = train_step(
+            params, opt_state, jax.random.PRNGKey(i), ks
+        )
+        assert np.isfinite(float(loss))
