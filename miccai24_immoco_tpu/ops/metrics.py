@@ -204,10 +204,18 @@ def calmetric2d(pred: jnp.ndarray, gt: jnp.ndarray) -> Metrics2D:
         raise ValueError("Input tensors must be 4D (B, C, H, W)")
     p = normalize_batch(pred)
     g = normalize_batch(gt)
+    # Small-input fallback mirroring evaluate.py:66-71: shrink the SSIM
+    # window and the HaarPSI scale count below 11px extents.
+    kernel = 11
+    scales = 3
+    min_hw = min(p.shape[-1], p.shape[-2])
+    if min_hw < kernel:
+        kernel = max(min_hw - 1, 2)
+        scales = max(int(np.log2(kernel)), 1)
     return Metrics2D(
         psnr=psnr(p, g, 1.0),
-        ssim=ssim(p, g, 1.0),
-        haarpsi=haarpsi(p, g),
+        ssim=ssim(p, g, 1.0, kernel_size=kernel),
+        haarpsi=haarpsi(p, g, scales=scales),
         rmse=rmse(p, g),
     )
 
