@@ -51,7 +51,7 @@ def main():
     from miccai24_immoco_tpu.ops.masks import extract_movement_groups
     from miccai24_immoco_tpu.ops.metrics import calmetric2d, center_crop_quarter
     from miccai24_immoco_tpu.ops.motion_sim import simulate_motion_2d
-    from miccai24_immoco_tpu.parallel.sharded_fit import make_batched_fit
+    from miccai24_immoco_tpu.parallel.sharded_fit import make_batched_segmented_fit
 
     batch = int(os.environ.get("BENCH_BATCH", "4"))
     iters = int(os.environ.get("BENCH_ITERS", "200"))
@@ -82,7 +82,8 @@ def main():
     ksp, masks = jax.block_until_ready(prepare(images, jax.random.PRNGKey(0)))
 
     model = build_immoco(cfg, size, size)
-    fit = jax.jit(make_batched_fit(model))
+    seg_len = int(os.environ.get("BENCH_SEG", "20"))
+    fit = make_batched_segmented_fit(model, segment_len=seg_len)
     keys = jax.random.split(jax.random.PRNGKey(1), batch)
 
     # Warmup / compile.

@@ -182,6 +182,95 @@ def make_instance_fit(
     return fit
 
 
+def make_segmented_fit(model: IMMoCoModel, segment_len: int = 25):
+    """Segmented variant of the instance fit for runtimes that bound
+    single-program execution time (e.g. tunneled/preemptible TPUs).
+
+    One compiled graph advances (params, opt_state) by ``segment_len``
+    iterations; the host loops segments, reusing the same executable.
+    Numerically identical to make_instance_fit (same scan body, same Adam
+    state threading).
+
+    Returns (init_fn, segment_fn, finalize_fn):
+      init_fn(kspace, key, statics) -> (params, opt_state, k_in, scale)
+      segment_fn(params, opt_state, k_in, masks, lambdas_seg, statics)
+          -> (params, opt_state, losses_seg)
+      finalize_fn(params, masks, scale, statics) -> FitResult-less tuple
+          (image, kspace_forward) at input scale
+    """
+    cfg = model.cfg
+    opt = optax.adam(cfg.learning_rate, b1=cfg.b1, b2=cfg.b2, eps=cfg.eps)
+
+    @jax.jit
+    def init_fn(kspace, key, statics):
+        scale = jnp.abs(kspace).max()
+        k_in = kspace / scale * cfg.kspace_scale
+        params = model.init(key)
+        return params, opt.init(params), k_in, scale
+
+    @jax.jit
+    def segment_fn(params, opt_state, k_in, masks, lambdas_seg, statics):
+        def loss_fn(p, lam):
+            k_out, image = model.forward(p, masks, statics)
+            return real_pair_mse(k_out, k_in) + lam * gradient_entropy(image)
+
+        def step(carry, lam):
+            p, s = carry
+            loss, grads = jax.value_and_grad(loss_fn)(p, lam)
+            updates, s = opt.update(grads, s)
+            return (optax.apply_updates(p, updates), s), loss
+
+        (params, opt_state), losses = jax.lax.scan(
+            step, (params, opt_state), lambdas_seg
+        )
+        return params, opt_state, losses
+
+    @jax.jit
+    def finalize_fn(params, masks, scale, statics):
+        k_fwd, image = model.forward(params, masks, statics)
+        descale = scale / cfg.kspace_scale
+        return image * descale, k_fwd * descale
+
+    def run(kspace, masks, key, statics) -> FitResult:
+        lambdas = lambda_schedule(cfg)
+        n_seg = -(-cfg.iters // segment_len)
+        pad = n_seg * segment_len - cfg.iters
+        lambdas = np.concatenate([lambdas, np.zeros(pad, np.float32)])
+        # Padded tail segments would perturb params; instead run full
+        # segments and one short remainder via masking: simplest correct
+        # approach is exact-length segments when pad == 0, else a second
+        # compiled remainder graph.
+        params, opt_state, k_in, scale = init_fn(kspace, key, statics)
+        losses = []
+        full = cfg.iters // segment_len
+        for s in range(full):
+            seg = jnp.asarray(
+                lambdas[s * segment_len : (s + 1) * segment_len]
+            )
+            params, opt_state, l = segment_fn(
+                params, opt_state, k_in, masks, seg, statics
+            )
+            losses.append(l)
+        rem = cfg.iters - full * segment_len
+        if rem:
+            seg = jnp.asarray(lambdas[full * segment_len : cfg.iters])
+            params, opt_state, l = segment_fn(
+                params, opt_state, k_in, masks, seg, statics
+            )
+            losses.append(l)
+        image, k_fwd = finalize_fn(params, masks, scale, statics)
+        return FitResult(
+            image=image,
+            kspace_forward=k_fwd,
+            losses=jnp.concatenate(losses) if losses else jnp.zeros((0,)),
+        )
+
+    run.init_fn = init_fn
+    run.segment_fn = segment_fn
+    run.finalize_fn = finalize_fn
+    return run
+
+
 def motion_correct(
     kspace: jnp.ndarray,
     masks: jnp.ndarray,

@@ -65,6 +65,60 @@ def make_sharded_fit(model: IMMoCoModel, mesh: Mesh) -> Callable:
     )
 
 
+def make_batched_segmented_fit(
+    model: IMMoCoModel, segment_len: int = 25, mesh: Optional[Mesh] = None
+) -> Callable:
+    """Batched fits advanced in fixed-length compiled segments.
+
+    For runtimes that bound single-program execution time: one executable
+    advances the whole batch by ``segment_len`` iterations; the host loops
+    segments.  Numerically identical to make_batched_fit (same scan body).
+    Returns run(kspaces, masks, keys, statics) -> FitResult.
+    """
+    import numpy as np
+
+    from miccai24_immoco_tpu.models.immoco import (
+        lambda_schedule,
+        make_segmented_fit,
+    )
+
+    single = make_segmented_fit(model, segment_len)
+    cfg = model.cfg
+
+    vinit = jax.jit(jax.vmap(single.init_fn, in_axes=(0, 0, None)))
+    vseg = jax.jit(
+        jax.vmap(single.segment_fn, in_axes=(0, 0, 0, 0, None, None))
+    )
+    vfin = jax.jit(jax.vmap(single.finalize_fn, in_axes=(0, 0, 0, None)))
+
+    def run(kspaces, masks, keys, statics) -> FitResult:
+        lambdas = lambda_schedule(cfg)
+        params, opt_state, k_in, scale = vinit(kspaces, keys, statics)
+        losses = []
+        full = cfg.iters // segment_len
+        for s in range(full):
+            seg = jnp.asarray(lambdas[s * segment_len : (s + 1) * segment_len])
+            params, opt_state, l = vseg(
+                params, opt_state, k_in, masks, seg, statics
+            )
+            losses.append(l)
+        rem = cfg.iters - full * segment_len
+        if rem:
+            seg = jnp.asarray(lambdas[full * segment_len :])
+            params, opt_state, l = vseg(
+                params, opt_state, k_in, masks, seg, statics
+            )
+            losses.append(l)
+        image, k_fwd = vfin(params, masks, scale, statics)
+        return FitResult(
+            image=image,
+            kspace_forward=k_fwd,
+            losses=jnp.concatenate(losses, axis=-1),
+        )
+
+    return run
+
+
 def batched_motion_correct(
     kspaces: jnp.ndarray,
     masks: jnp.ndarray,

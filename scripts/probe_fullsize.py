@@ -32,7 +32,7 @@ from miccai24_immoco_tpu.config import (
     MotionINRConfig,
 )
 from miccai24_immoco_tpu.data.synthetic import brain_phantom
-from miccai24_immoco_tpu.models.immoco import build_immoco, make_instance_fit
+from miccai24_immoco_tpu.models.immoco import build_immoco, make_segmented_fit
 from miccai24_immoco_tpu.ops import ifft2c
 from miccai24_immoco_tpu.ops.masks import extract_movement_groups
 from miccai24_immoco_tpu.ops.metrics import calmetric2d, center_crop_quarter
@@ -84,7 +84,8 @@ def main():
             motion_inr=MotionINRConfig(encoding=mot_enc),
         )
         model = build_immoco(cfg, h, w)
-        fit = jax.jit(make_instance_fit(model))
+        seg_len = int(os.environ.get("PROBE_SEG", "20"))
+        fit = make_segmented_fit(model, segment_len=seg_len)
         t0 = time.perf_counter()
         r = fit(ksp, masks, jax.random.PRNGKey(1), model.statics)
         jax.block_until_ready(r.losses)
