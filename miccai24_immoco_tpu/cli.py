@@ -26,6 +26,7 @@ import sys
 from typing import Optional
 
 import numpy as np
+import jax.numpy as jnp
 
 
 def _load_ckpt(path):
@@ -218,6 +219,134 @@ def cmd_eval_kld(args):
     print(json.dumps(out, indent=2))
 
 
+def cmd_train_classifier(args):
+    import numpy as np
+
+    from miccai24_immoco_tpu.train.train_classification import (
+        ClassifierTrainConfig,
+        train_classifier,
+    )
+    from miccai24_immoco_tpu.utils.checkpoint import save
+
+    if args.patches_npz:
+        z = np.load(args.patches_npz)
+        patches, labels = z["patches"], z["labels"]
+    else:
+        rng = np.random.default_rng(0)
+        n = args.synthetic
+        patches = rng.random((n, 124, 124)).astype(np.float32)
+        patches[n // 2 :] += 0.5
+        labels = np.concatenate(
+            [np.zeros(n // 2, np.int32), np.ones(n - n // 2, np.int32)]
+        )
+    cfg = ClassifierTrainConfig(steps=args.steps)
+    state, eval_step = train_classifier(
+        patches, labels, cfg, val=(patches, labels),
+        log_fn=lambda i, st: print(i, json.dumps(st)),
+    )
+    save(args.out, state["head_params"])
+    print(f"saved {args.out}")
+
+
+def cmd_train_afplus(args):
+    import jax
+
+    from miccai24_immoco_tpu.config import UnetConfig
+    from miccai24_immoco_tpu.models.unet import build_unet
+    from miccai24_immoco_tpu.train.train_afplus import (
+        AFPlusTrainConfig,
+        make_afplus_trainer,
+    )
+    from miccai24_immoco_tpu.utils.checkpoint import save
+
+    train, _ = _train_kspace_stacks(args)
+    h, w = train.shape[-2:]
+    net = build_unet(UnetConfig(in_chans=1, out_chans=1, chans=32,
+                                num_pool_layers=6, norm="instance"))
+    cfg = AFPlusTrainConfig(steps=args.steps)
+    init_fn, train_step, _ = make_afplus_trainer(net, cfg, image_shape=(h, w))
+    key = jax.random.PRNGKey(cfg.seed)
+    key, ik = jax.random.split(key)
+    params, opt_state = init_fn(ik)
+    n = train.shape[0]
+    for i in range(args.steps):
+        key, sk = jax.random.split(key)
+        params, opt_state, loss = train_step(
+            params, opt_state, sk, train[i % n]
+        )
+        if i % 10 == 0:
+            print(i, float(loss))
+    save(args.out, params)
+    print(f"saved {args.out}")
+
+
+def cmd_eval_afplus(args):
+    import jax.numpy as jnp
+
+    from miccai24_immoco_tpu.config import AFPlusConfig
+    from miccai24_immoco_tpu.eval.harness import save_report
+    from miccai24_immoco_tpu.eval.runners import run_afplus
+    from miccai24_immoco_tpu.models.unet import build_unet
+    from miccai24_immoco_tpu.config import UnetConfig
+
+    net = build_unet(UnetConfig(in_chans=1, out_chans=1, chans=32,
+                                num_pool_layers=6, norm="instance"))
+    params = _load_ckpt(args.ckpt)
+
+    def metric_fn(img):
+        return net.apply({"params": params}, img[None, :, :, None],
+                         train=False)[0, :, :, 0]
+
+    per_scenario = {}
+    for scenario in args.scenarios.split(","):
+        corpus = _get_corpus(args, scenario)
+        per_scenario[scenario] = run_afplus(
+            corpus, metric_fn, AFPlusConfig(iters=args.iters), limit=args.limit
+        )
+    save_report(per_scenario, args.out_dir, "afplus")
+    print(json.dumps({s: _agg(m) for s, m in per_scenario.items()}, indent=2))
+
+
+def cmd_paper_figure(args):
+    import jax
+
+    from miccai24_immoco_tpu.config import InstanceFitConfig
+    from miccai24_immoco_tpu.eval.figures import method_comparison_figure
+    from miccai24_immoco_tpu.eval.runners import run_immoco
+    from miccai24_immoco_tpu.ops.fft import ifft2c
+    from miccai24_immoco_tpu.utils.hostio import get_complex, put_complex
+
+    corpus = _get_corpus(args, args.scenarios.split(",")[0])
+    idx = args.index
+    ksp = put_complex(corpus["kspace_motion"][idx])
+    gt = corpus["image_rss"][idx]
+    sub = {
+        k: (v[idx : idx + 1] if hasattr(v, "__getitem__") else v)
+        for k, v in corpus.items()
+    }
+    metrics, _ = run_immoco(
+        sub, InstanceFitConfig(iters=args.iters), kld=_load_kld(args), limit=1,
+        collect_images=True,
+    )
+    corrected = None
+    # Re-run fit directly to fetch the image (runners returns metrics).
+    from miccai24_immoco_tpu.models.immoco import motion_correct
+    from miccai24_immoco_tpu.ops.masks import extract_movement_groups
+
+    masks, _ = extract_movement_groups(
+        jnp.asarray(corpus["mask"][idx][0] > 0), ksp.shape[0], 24
+    )
+    cfg = InstanceFitConfig(iters=args.iters)
+    r = motion_correct(ksp, masks, cfg)
+    methods = {
+        "Corrupted": get_complex(ifft2c(ksp)),
+        "IM-MoCo": get_complex(r.image),
+    }
+    out = os.path.join(args.out_dir, "paper_figure.png")
+    scores = method_comparison_figure(np.abs(gt), methods, out)
+    print(json.dumps(scores, indent=2), "\nsaved", out)
+
+
 def cmd_bench(args):
     os.environ.setdefault("BENCH_BATCH", str(args.batch))
     os.environ.setdefault("BENCH_ITERS", str(args.iters))
@@ -290,6 +419,29 @@ def build_parser() -> argparse.ArgumentParser:
     common_eval(e)
     e.add_argument("--ckpt", required=True)
     e.set_defaults(fn=cmd_eval_kld)
+
+    t = sub.add_parser("train-classifier")
+    t.add_argument("--patches-npz")
+    t.add_argument("--synthetic", type=int, default=32)
+    t.add_argument("--steps", type=int, required=True)
+    t.add_argument("--out", required=True)
+    t.set_defaults(fn=cmd_train_classifier)
+
+    t = sub.add_parser("train-afplus")
+    common_train(t)
+    t.set_defaults(fn=cmd_train_afplus)
+
+    e = sub.add_parser("eval-afplus")
+    common_eval(e)
+    e.add_argument("--ckpt", required=True)
+    e.add_argument("--iters", type=int, default=80)
+    e.set_defaults(fn=cmd_eval_afplus)
+
+    e = sub.add_parser("paper-figure")
+    common_eval(e)
+    e.add_argument("--iters", type=int, default=200)
+    e.add_argument("--index", type=int, default=0)
+    e.set_defaults(fn=cmd_paper_figure)
 
     b = sub.add_parser("bench")
     b.add_argument("--batch", type=int, default=4)

@@ -127,6 +127,44 @@ def extract_patch(
     )[0]
 
 
+def write_yolo_labels(
+    rows: Sequence[dict], out_dir: str, image_hw: Tuple[int, int]
+) -> None:
+    """YOLO-format txt files per (file, slice): 'class cx cy w h' normalized
+    to [0, 1] (the detection-data layout of classification_utils.py:42-67)."""
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    h, w = image_hw
+    grouped: Dict[Tuple[str, int], List[dict]] = defaultdict(list)
+    for r in rows:
+        grouped[(r["file"], r["slice"])].append(r)
+    for (fname, sl), rs in grouped.items():
+        stem = f"{fname.replace('.h5', '')}_{sl}"
+        with open(os.path.join(out_dir, stem + ".txt"), "w") as f:
+            for r in rs:
+                cx = (r["x"] + r["width"] / 2.0) / w
+                cy = (r["y"] + r["height"] / 2.0) / h
+                f.write(
+                    f"{r['class_id']} {cx:.6f} {cy:.6f} "
+                    f"{r['width'] / w:.6f} {r['height'] / h:.6f}\n"
+                )
+
+
+def read_yolo_labels(path: str) -> np.ndarray:
+    """YOLO txt -> (N, 2) normalized centers in [-1, 1] (the convention
+    test_immoco_downstream.py:225-236 feeds to patch extraction)."""
+    centers = []
+    with open(path) as f:
+        for line in f:
+            parts = line.strip().split()
+            if len(parts) < 5:
+                continue
+            _, cx, cy, _, _ = map(float, parts[:5])
+            centers.append([cx * 2.0 - 1.0, cy * 2.0 - 1.0])
+    return np.asarray(centers, np.float32)
+
+
 def build_patch_dataset(
     rows: Sequence[dict],
     image_lookup,
