@@ -142,11 +142,12 @@ def main():
         state = opt.init(params)
         t0 = time.perf_counter()
         p, s, l = segment(params, state, k_in, masks, model.statics)
-        jax.block_until_ready(l)
+        _ = float(np.asarray(l)[-1])  # force full execution (block_until_ready
+        # does not synchronize on the tunneled runtime)
         t_compile = time.perf_counter() - t0
         t0 = time.perf_counter()
         p, s, l = segment(params, state, k_in, masks, model.statics)
-        jax.block_until_ready(l)
+        _ = float(np.asarray(l)[-1])
         t_run = time.perf_counter() - t0
         print(
             f"{variant}: {t_run:.3f} s/segment ({t_run/SEG*1000:.1f} ms/iter) "

@@ -90,3 +90,51 @@ def test_sharded_fit_dp_only_mesh():
     r = batched_motion_correct(ksp, masks, small_cfg(), mesh=mesh)
     assert np.isfinite(np.asarray(r.losses)).all()
     assert r.image.shape == ksp.shape
+
+
+def test_tp_hash_encode_matches_single_device():
+    from miccai24_immoco_tpu.config import HashGridConfig, MeshConfig
+    from miccai24_immoco_tpu.ops import hashgrid
+    from miccai24_immoco_tpu.parallel.tp_encoding import (
+        shard_tables,
+        tp_hash_encode,
+    )
+
+    cfg = HashGridConfig(num_levels=8, log2_hashmap_size=8, base_resolution=4)
+    mesh = make_mesh(MeshConfig(dp=4, tp=2))
+    tables = hashgrid.init_hash_tables(jax.random.PRNGKey(0), cfg)
+    coords = jax.random.uniform(
+        jax.random.PRNGKey(1), (64, 2), minval=-1.0, maxval=1.0
+    )
+    expect = hashgrid.hash_encode(tables, coords, cfg)
+    with jax.set_mesh(mesh):
+        got = tp_hash_encode(shard_tables(tables, mesh), coords, cfg, mesh)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expect),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_tp_hash_encode_gradients_flow():
+    from miccai24_immoco_tpu.config import HashGridConfig, MeshConfig
+    from miccai24_immoco_tpu.ops import hashgrid
+    from miccai24_immoco_tpu.parallel.tp_encoding import (
+        shard_tables,
+        tp_hash_encode,
+    )
+
+    cfg = HashGridConfig(num_levels=4, log2_hashmap_size=8, base_resolution=4)
+    mesh = make_mesh(MeshConfig(dp=4, tp=2))
+    tables = hashgrid.init_hash_tables(jax.random.PRNGKey(2), cfg)
+    coords = jax.random.uniform(
+        jax.random.PRNGKey(3), (32, 2), minval=-1.0, maxval=1.0
+    )
+
+    def loss(t):
+        return jnp.sum(tp_hash_encode(t, coords, cfg, mesh) ** 2)
+
+    with jax.set_mesh(mesh):
+        g = jax.grad(loss)(shard_tables(tables, mesh))
+    g_ref = jax.grad(
+        lambda t: jnp.sum(hashgrid.hash_encode(t, coords, cfg) ** 2)
+    )(tables)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref),
+                               rtol=1e-4, atol=1e-6)
