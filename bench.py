@@ -79,20 +79,24 @@ def main():
 
         return jax.vmap(one)(images, keys)
 
-    ksp, masks = jax.block_until_ready(prepare(images, jax.random.PRNGKey(0)))
+    ksp, masks = prepare(images, jax.random.PRNGKey(0))
+    from miccai24_immoco_tpu.utils.hostio import sync as _sync
+    _sync(masks)
 
     model = build_immoco(cfg, size, size)
     seg_len = int(os.environ.get("BENCH_SEG", "20"))
     fit = make_batched_segmented_fit(model, segment_len=seg_len)
     keys = jax.random.split(jax.random.PRNGKey(1), batch)
 
+    from miccai24_immoco_tpu.utils.hostio import readback, sync
+
     # Warmup / compile.
     r = fit(ksp, masks, keys, model.statics)
-    jax.block_until_ready(r.losses)
+    sync(r.losses)
 
     t0 = time.perf_counter()
     r = fit(ksp, masks, keys, model.statics)
-    jax.block_until_ready(r.losses)
+    sync(r.losses)
     elapsed = time.perf_counter() - t0
     per_slice = elapsed / batch
 
@@ -104,13 +108,13 @@ def main():
         )
         return jnp.stack([m.ssim, m.psnr])
 
-    fit_q = np.asarray(quality(r.image, images))
+    fit_q = readback(quality(r.image, images))
 
     @jax.jit
     def corrupt_quality(ksp, gt):
         return quality(ifft2c(ksp), gt)
 
-    cor_q = np.asarray(corrupt_quality(ksp, images))
+    cor_q = readback(corrupt_quality(ksp, images))
 
     print(
         json.dumps(

@@ -50,3 +50,29 @@ def get_complex(x: jnp.ndarray) -> np.ndarray:
 
 def put_real(array) -> jnp.ndarray:
     return jnp.asarray(np.asarray(array, dtype=np.float32))
+
+
+def readback(x: jnp.ndarray) -> np.ndarray:
+    """Device -> host for small arrays, robust to runtimes whose raw buffer
+    transfer path is unimplemented for some layouts: falls back to per-
+    element scalar reads through a jitted gather."""
+    try:
+        return np.asarray(x)
+    except Exception:
+        flat = x.reshape(-1)
+        take = jax.jit(lambda a, i: a[i])
+        vals = [float(take(flat, i)) for i in range(flat.shape[0])]
+        return np.asarray(vals, dtype=np.float32).reshape(x.shape)
+
+
+def sync(x) -> None:
+    """Force execution of x's producers (block_until_ready does not
+    synchronize on tunneled runtimes): reduce to a scalar and read it."""
+    leaves = jax.tree.leaves(x)
+    for leaf in leaves:
+        if hasattr(leaf, "dtype"):
+            val = jax.jit(lambda a: jnp.sum(jnp.abs(a).astype(jnp.float32)))(
+                leaf
+            )
+            float(val)
+            return
