@@ -1,0 +1,82 @@
+"""Method-runner tests over a small synthetic corpus with oracle masks."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from miccai24_immoco_tpu.config import (
+    AutofocusingConfig,
+    InstanceFitConfig,
+    KLDTrainConfig,
+    UnetConfig,
+)
+from miccai24_immoco_tpu.data.synthetic import phantom_stack
+from miccai24_immoco_tpu.eval.runners import (
+    run_autofocusing,
+    run_denoiser,
+    run_immoco,
+    run_kld,
+)
+from miccai24_immoco_tpu.models.unet import build_unet
+from miccai24_immoco_tpu.ops.fft import fft2c
+from miccai24_immoco_tpu.ops.motion_sim import simulate_motion_batch
+from miccai24_immoco_tpu.utils.hostio import get_complex
+
+import sys
+
+sys.path.insert(0, "tests")
+from test_immoco_fit import small_cfg  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    images = phantom_stack(2, 32, 32, seed=9)
+    sims = simulate_motion_batch(
+        jax.random.PRNGKey(1), images, n_movements=2, max_movements=4
+    )
+    return {
+        "kspace_motion": get_complex(sims.kspace),
+        "image_rss": get_complex(images),
+        "mask": np.asarray(sims.mask),
+    }
+
+
+def test_run_immoco_oracle_masks(corpus):
+    cfg = small_cfg("lattice", "lattice", iters=5, max_movements=4)
+    metrics, images = run_immoco(corpus, cfg, limit=2, collect_images=True)
+    assert len(metrics) == 2
+    assert all(np.isfinite(m["psnr"]) for m in metrics)
+    assert set(images) == {
+        "Motion corrupted image",
+        "Motion corrected image",
+        "Ground truth image",
+    }
+
+
+def test_run_autofocusing(corpus):
+    metrics = run_autofocusing(
+        corpus, AutofocusingConfig(iters=3, max_movements=4), limit=1
+    )
+    assert len(metrics) == 1 and np.isfinite(metrics[0]["ssim"])
+
+
+def test_run_denoiser_and_kld(corpus):
+    unet_cfg = UnetConfig(in_chans=1, out_chans=1, chans=4, num_pool_layers=2)
+    net = build_unet(unet_cfg)
+    params = net.init(
+        {"params": jax.random.PRNGKey(0)}, jnp.zeros((1, 32, 32, 1))
+    )["params"]
+    metrics = run_denoiser(corpus, net, params, limit=1)
+    assert np.isfinite(metrics[0]["rmse"])
+
+    kld_cfg = UnetConfig(in_chans=2, out_chans=1, chans=4, num_pool_layers=2)
+    kld_net = build_unet(kld_cfg)
+    kld_params = kld_net.init(
+        {"params": jax.random.PRNGKey(1)}, jnp.zeros((1, 32, 32, 2))
+    )["params"]
+    stats = run_kld(corpus, kld_net, kld_params, limit=1)
+    assert {"dice", "iou", "sensitivity", "specificity", "precision", "f1"} <= set(
+        stats[0]
+    )
