@@ -107,6 +107,57 @@ def run_immoco(
     return metrics, last_images
 
 
+def run_immoco_batched(
+    corpus: dict,
+    cfg: InstanceFitConfig = InstanceFitConfig(),
+    kld: Optional[dict] = None,
+    key: Optional[jax.Array] = None,
+    limit: Optional[int] = None,
+    batch_size: int = 8,
+    segment_len: int = 20,
+):
+    """Batched variant of run_immoco: slices are fitted in vmapped batches
+    (the production throughput mode; parallel/sharded_fit machinery)."""
+    from miccai24_immoco_tpu.parallel.sharded_fit import (
+        make_batched_segmented_fit,
+    )
+
+    ks_all = corpus["kspace_motion"]
+    gt_all = corpus["image_rss"]
+    masks_all = corpus.get("mask")
+    n = ks_all.shape[0] if limit is None else min(limit, ks_all.shape[0])
+    h, w = ks_all.shape[-2:]
+    model = build_immoco(cfg, h, w)
+    run = make_batched_segmented_fit(model, segment_len=segment_len)
+    if key is None:
+        key = jax.random.PRNGKey(0)
+
+    metrics: List[Dict[str, float]] = []
+    for start in range(0, n, batch_size):
+        idx = list(range(start, min(start + batch_size, n)))
+        pad = batch_size - len(idx)
+        idx_padded = idx + [idx[-1]] * pad  # static batch; padded fits dropped
+        ksp = put_complex(ks_all[idx_padded])
+        masks = []
+        for i in idx_padded:
+            ind = _line_indicators(
+                put_complex(ks_all[i]),
+                None if masks_all is None else masks_all[i],
+                kld,
+            )
+            m, _ = extract_movement_groups(ind, h, cfg.max_movements)
+            masks.append(m)
+        masks = jnp.stack(masks)
+        key, sub = jax.random.split(key)
+        keys = jax.random.split(sub, batch_size)
+        result = run(ksp, masks, keys, model.statics)
+        for j, i in enumerate(idx):
+            metrics.append(
+                _metrics_dict(result.image[j], put_complex(gt_all[i]))
+            )
+    return metrics
+
+
 def run_autofocusing(
     corpus: dict,
     cfg: AutofocusingConfig = AutofocusingConfig(),

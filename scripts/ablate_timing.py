@@ -124,7 +124,9 @@ def main():
     params = model.init(jax.random.PRNGKey(0))
     opt0 = optax.adam(1e-2)
     masks = jnp.zeros((M, H, W), jnp.float32).at[0, :, 100:110].set(1.0)
-    k_in = jnp.zeros((H, W), jnp.complex64) + 1.0
+    # Complex arrays must be produced BY a jitted computation on this
+    # runtime (eager/host complex buffers poison the process).
+    k_in = jax.jit(lambda: jnp.full((H, W), 1.0 + 0.0j, jnp.complex64))()
 
     for variant in variants:
         try:

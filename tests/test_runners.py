@@ -80,3 +80,19 @@ def test_run_denoiser_and_kld(corpus):
     assert {"dice", "iou", "sensitivity", "specificity", "precision", "f1"} <= set(
         stats[0]
     )
+
+
+def test_run_immoco_batched_matches_serial(corpus):
+    cfg = small_cfg("lattice", "lattice", iters=5, max_movements=4)
+    from miccai24_immoco_tpu.eval.runners import run_immoco_batched
+
+    serial, _ = run_immoco(corpus, cfg, limit=2)
+    batched = run_immoco_batched(corpus, cfg, limit=2, batch_size=2,
+                                 segment_len=3)
+    assert len(batched) == 2
+    # Different PRNG key trees (batch split vs serial split) mean different
+    # INR inits; at 5 toy iterations results differ by a few dB — assert
+    # structural sanity, not equality.
+    for a, b in zip(serial, batched):
+        assert np.isfinite(b["psnr"]) and np.isfinite(b["ssim"])
+        assert abs(a["psnr"] - b["psnr"]) < 6.0
