@@ -49,12 +49,34 @@ def _metrics_dict(pred, gt) -> Dict[str, float]:
     return {k: float(v) for k, v in zip(METRIC_NAMES, vals)}
 
 
+def _make_indicator_fn(kld: Optional[dict]):
+    """Build a jitted (kspace, gt_mask_or_none) -> (W,) indicator fn.
+
+    Jitted once per runner: on remote-compile runtimes every *eager* op
+    round-trips the compiler, so the detector forward must be one graph.
+    """
+    if kld is None:
+        return None
+
+    net = kld["net"]
+
+    @jax.jit
+    def fn(params, kspace):
+        mask = predict_line_mask(net, params, kspace[None])[0]
+        return mask_to_line_indicators(mask)
+
+    return lambda kspace: fn(kld["params"], kspace)
+
+
 def _line_indicators(
     kspace: jnp.ndarray,
     gt_mask: Optional[np.ndarray],
     kld: Optional[dict],
+    indicator_fn=None,
 ) -> jnp.ndarray:
     """(H, W) k-space -> (W,) corrupted-column indicators."""
+    if indicator_fn is not None:
+        return indicator_fn(kspace)
     if kld is not None:
         mask = predict_line_mask(kld["net"], kld["params"], kspace[None])[0]
         return mask_to_line_indicators(mask)
@@ -82,6 +104,10 @@ def run_immoco(
     fit = jax.jit(make_instance_fit(model))
     if key is None:
         key = jax.random.PRNGKey(0)
+    indicator_fn = _make_indicator_fn(kld)
+    groups = jax.jit(
+        lambda ind: extract_movement_groups(ind, h, cfg.max_movements)
+    )
 
     metrics: List[Dict[str, float]] = []
     last_images = None
@@ -89,9 +115,10 @@ def run_immoco(
         ksp = put_complex(ks_all[i])
         gt = put_complex(gt_all[i])
         ind = _line_indicators(
-            ksp, None if masks_all is None else masks_all[i], kld
+            ksp, None if masks_all is None else masks_all[i], kld,
+            indicator_fn,
         )
-        masks, _ = extract_movement_groups(ind, h, cfg.max_movements)
+        masks, _ = groups(ind)
         key, sub = jax.random.split(key)
         result = fit(ksp, masks, sub, model.statics)
         metrics.append(_metrics_dict(result.image, gt))
@@ -131,6 +158,10 @@ def run_immoco_batched(
     run = make_batched_segmented_fit(model, segment_len=segment_len)
     if key is None:
         key = jax.random.PRNGKey(0)
+    indicator_fn = _make_indicator_fn(kld)
+    groups = jax.jit(
+        lambda ind: extract_movement_groups(ind, h, cfg.max_movements)
+    )
 
     metrics: List[Dict[str, float]] = []
     for start in range(0, n, batch_size):
@@ -144,8 +175,9 @@ def run_immoco_batched(
                 put_complex(ks_all[i]),
                 None if masks_all is None else masks_all[i],
                 kld,
+                indicator_fn,
             )
-            m, _ = extract_movement_groups(ind, h, cfg.max_movements)
+            m, _ = groups(ind)
             masks.append(m)
         masks = jnp.stack(masks)
         key, sub = jax.random.split(key)
@@ -170,15 +202,20 @@ def run_autofocusing(
     n = ks_all.shape[0] if limit is None else min(limit, ks_all.shape[0])
     h, w = ks_all.shape[-2:]
     fit = jax.jit(make_autofocus_fit(cfg))
+    indicator_fn = _make_indicator_fn(kld)
+    groups = jax.jit(
+        lambda ind: extract_movement_groups(ind, h, cfg.max_movements)
+    )
 
     metrics = []
     for i in range(n):
         ksp = put_complex(ks_all[i])
         gt = put_complex(gt_all[i])
         ind = _line_indicators(
-            ksp, None if masks_all is None else masks_all[i], kld
+            ksp, None if masks_all is None else masks_all[i], kld,
+            indicator_fn,
         )
-        masks, _ = extract_movement_groups(ind, h, cfg.max_movements)
+        masks, _ = groups(ind)
         result = fit(ksp, masks)
         metrics.append(_metrics_dict(result.image, gt))
     return metrics
