@@ -135,6 +135,10 @@ class InstanceFitConfig:
     max_movements: int = 24
     # Compute dtype for the INR MLPs ("bfloat16" rides the MXU; params fp32).
     compute_dtype: str = "float32"
+    # Warp implementation: "matmul" runs bilinear sampling as one-hot MXU
+    # matmuls (no gather/scatter — 35x faster per fit iteration on TPU, see
+    # ops/warp_mm.py); "gather" is the torch-semantics reference path.
+    warp_impl: str = "matmul"
 
 
 @dataclasses.dataclass(frozen=True)

@@ -41,6 +41,7 @@ from miccai24_immoco_tpu.models.inr import INRSpec, build_inr
 from miccai24_immoco_tpu.ops.fft import fft2c
 from miccai24_immoco_tpu.ops.losses import gradient_entropy, real_pair_mse
 from miccai24_immoco_tpu.ops.warp import grid_sample, identity_grid
+from miccai24_immoco_tpu.ops.warp_mm import bilinear_sample_mm
 
 
 class FitResult(NamedTuple):
@@ -103,13 +104,21 @@ class IMMoCoModel:
         grids = disp + statics["id_grid"][None]
 
         m = masks.shape[0]
-        motion_images = grid_sample(
-            jnp.broadcast_to(image[None, None], (m, 1, self.height, self.width)),
-            grids,
-            mode="bilinear",
-            padding_mode="zeros",
-            align_corners=False,
-        )[:, 0]  # (M, H, W) complex
+        if self.cfg.warp_impl == "matmul":
+            # MXU path: bilinear sampling as one-hot matmuls; identical
+            # semantics to grid_sample(bilinear, zeros, align_corners=False)
+            # with a scatter-free backward (ops/warp_mm.py).
+            motion_images = bilinear_sample_mm(image, grids, align_corners=False)
+        else:
+            motion_images = grid_sample(
+                jnp.broadcast_to(
+                    image[None, None], (m, 1, self.height, self.width)
+                ),
+                grids,
+                mode="bilinear",
+                padding_mode="zeros",
+                align_corners=False,
+            )[:, 0]  # (M, H, W) complex
 
         dc_term = fft2c(image) * (1.0 - masks.sum(0))
         mov_term = (fft2c(motion_images) * masks).sum(0)

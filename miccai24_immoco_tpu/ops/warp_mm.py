@@ -1,0 +1,92 @@
+"""Matmul-formulated bilinear warping — the MXU path for grid_sample.
+
+The gather-based warp (ops/warp.py) lowers to an XLA gather in the forward
+pass and a scatter-add in the backward pass; TPU executes large random
+scatters poorly (they serialize), and the fit-step HLO shows exactly one
+such scatter — the gradient of the warped images w.r.t. the shared image.
+
+Bilinear sampling is a linear map of the image, so it can be written with
+one-hot interpolation matrices and evaluated on the MXU:
+
+    out[p] = sum_y sum_x Ay[p, y] * Ax[p, x] * img[y, x]
+           = rowsum( (Ay @ img) * Ax )
+
+with Ay (N, H) holding (1-ty, ty) at rows (y0, y0+1) and Ax (N, W) the same
+along x.  Every operation — forward AND backward (autodiff of matmuls is
+matmuls) — is dense linear algebra; out-of-range corners produce all-zero
+one-hot rows, which reproduces "zeros" padding exactly.  Gradients w.r.t.
+the sampling grid flow through the (1-t, t) weights (the floor() is
+piecewise-constant, as in the gather formulation).
+
+Cost: 2 * N * H matmul FLOPs per image column-block per movement — ~10.5
+GFLOP per (320^2, 320^2) movement in bf16, which the MXU eats in ~0.1 ms;
+movements are processed under lax.map to bound the one-hot working set.
+
+Semantics match ops/warp.grid_sample(mode="bilinear", padding_mode="zeros",
+align_corners=False) — golden-tested in tests/test_warp_mm.py.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def _one_hot_lerp(pos: jnp.ndarray, size: int, dtype) -> jnp.ndarray:
+    """pos: (N,) fractional pixel coordinates -> (N, size) interpolation
+    rows with (1-t, t) at (floor(pos), floor(pos)+1); zero outside."""
+    p0 = jnp.floor(pos)
+    t = (pos - p0).astype(dtype)
+    idx = jax.lax.broadcasted_iota(jnp.int32, (pos.shape[0], size), 1)
+    p0i = p0.astype(jnp.int32)[:, None]
+    lo = (idx == p0i).astype(dtype)
+    hi = (idx == p0i + 1).astype(dtype)
+    return lo * (1.0 - t)[:, None] + hi * t[:, None]
+
+
+def bilinear_sample_mm(
+    image: jnp.ndarray,
+    grids: jnp.ndarray,
+    align_corners: bool = False,
+    compute_dtype=jnp.bfloat16,
+) -> jnp.ndarray:
+    """Warp one (H, W) complex/real image by (M, Ho, Wo, 2) sampling grids.
+
+    Equivalent to vmapped grid_sample(..., "bilinear", "zeros",
+    align_corners) of the shared image; all-matmul implementation.
+    """
+    h, w = image.shape
+    m, ho, wo, _ = grids.shape
+    if jnp.iscomplexobj(image):
+        planes = jnp.stack([image.real, image.imag], axis=-1)  # (H, W, 2)
+    else:
+        planes = image[..., None]
+    planes_c = planes.astype(compute_dtype)
+
+    def unnormalize(coord, size):
+        if align_corners:
+            return (coord + 1.0) * 0.5 * (size - 1)
+        return ((coord + 1.0) * size - 1.0) * 0.5
+
+    def warp_one(grid):  # (Ho, Wo, 2) -> (Ho, Wo, planes)
+        gx = unnormalize(grid[..., 0].reshape(-1), w)
+        gy = unnormalize(grid[..., 1].reshape(-1), h)
+        ay = _one_hot_lerp(gy, h, compute_dtype)  # (N, H)
+        ax = _one_hot_lerp(gx, w, compute_dtype)  # (N, W)
+        # rows[p, x, c] = sum_y ay[p, y] * img[y, x, c]
+        rows = jax.lax.dot_general(
+            ay,
+            planes_c,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (N, W, C) fp32
+        out = jnp.einsum(
+            "nwc,nw->nc", rows.astype(compute_dtype), ax,
+            preferred_element_type=jnp.float32,
+        )
+        return out.reshape(ho, wo, -1)
+
+    out = jax.lax.map(warp_one, grids)  # (M, Ho, Wo, C)
+    if jnp.iscomplexobj(image):
+        return jax.lax.complex(out[..., 0], out[..., 1])
+    return out[..., 0]

@@ -1,0 +1,104 @@
+"""Matmul warp vs gather warp: values and gradients must agree."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from miccai24_immoco_tpu.ops.warp import affine_grid, grid_sample, identity_grid
+from miccai24_immoco_tpu.ops.warp_mm import bilinear_sample_mm
+
+
+def _setup(rng, h=24, w=20, m=3):
+    img = (
+        rng.standard_normal((h, w)) + 1j * rng.standard_normal((h, w))
+    ).astype(np.complex64)
+    thetas = np.tile(np.eye(2, 3, dtype=np.float32), (m, 1, 1))
+    thetas[:, :, :2] += 0.15 * rng.standard_normal((m, 2, 2)).astype(np.float32)
+    thetas[:, :, 2] = 0.2 * rng.standard_normal((m, 2)).astype(np.float32)
+    grids = affine_grid(jnp.asarray(thetas), (h, w), align_corners=True)
+    return jnp.asarray(img), grids
+
+
+def test_matmul_matches_gather_complex(rng):
+    img, grids = _setup(rng)
+    m, h, w, _ = grids.shape
+    ours = bilinear_sample_mm(img, grids, compute_dtype=jnp.float32)
+    ref = grid_sample(
+        jnp.broadcast_to(img[None, None], (m, 1, h, w)),
+        grids,
+        mode="bilinear",
+        padding_mode="zeros",
+        align_corners=False,
+    )[:, 0]
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_matmul_bf16_close(rng):
+    img, grids = _setup(rng)
+    m, h, w, _ = grids.shape
+    a = bilinear_sample_mm(img, grids, compute_dtype=jnp.bfloat16)
+    b = bilinear_sample_mm(img, grids, compute_dtype=jnp.float32)
+    err = np.abs(np.asarray(a) - np.asarray(b)).max()
+    assert err < 0.05 * float(jnp.abs(img).max())
+
+
+def test_matmul_gradients_match_gather(rng):
+    img, grids = _setup(rng, h=12, w=12, m=2)
+    m, h, w, _ = grids.shape
+
+    def loss_mm(im, gr):
+        return jnp.sum(jnp.abs(bilinear_sample_mm(im, gr,
+                                                  compute_dtype=jnp.float32)) ** 2)
+
+    def loss_gather(im, gr):
+        out = grid_sample(
+            jnp.broadcast_to(im[None, None], (m, 1, h, w)),
+            gr,
+            mode="bilinear",
+            padding_mode="zeros",
+            align_corners=False,
+        )[:, 0]
+        return jnp.sum(jnp.abs(out) ** 2)
+
+    g1_im, g1_gr = jax.grad(loss_mm, argnums=(0, 1))(img, grids)
+    g2_im, g2_gr = jax.grad(loss_gather, argnums=(0, 1))(img, grids)
+    np.testing.assert_allclose(np.asarray(g1_im), np.asarray(g2_im),
+                               rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(g1_gr), np.asarray(g2_gr),
+                               rtol=1e-3, atol=1e-4)
+
+
+def test_model_forward_matmul_matches_gather(rng):
+    """End-to-end forward-model parity between warp implementations."""
+    import dataclasses
+    import sys
+
+    sys.path.insert(0, "tests")
+    from test_immoco_fit import small_cfg, synthetic_brain
+
+    from miccai24_immoco_tpu.models.immoco import build_immoco
+
+    img = synthetic_brain(32, 32)
+    from miccai24_immoco_tpu.ops.fft import fft2c
+    from miccai24_immoco_tpu.ops.masks import extract_movement_groups
+    from miccai24_immoco_tpu.ops.motion_sim import simulate_motion_2d
+
+    sim = simulate_motion_2d(jax.random.PRNGKey(0), img, n_movements=2)
+    masks, _ = extract_movement_groups(sim.mask[0], 32, 4)
+
+    cfg = small_cfg("lattice", "lattice", iters=3, max_movements=4)
+    cfg_mm = dataclasses.replace(cfg, warp_impl="matmul", compute_dtype="float32")
+    cfg_g = dataclasses.replace(cfg, warp_impl="gather")
+
+    m1 = build_immoco(cfg_mm, 32, 32)
+    m2 = build_immoco(cfg_g, 32, 32)
+    params = m1.init(jax.random.PRNGKey(1))
+    k1, i1 = m1.forward(params, masks, m1.statics)
+    k2, i2 = m2.forward(params, masks, m2.statics)
+    # bf16 one-hot weights vs f32 gather weights -> small numeric spread.
+    denom = float(jnp.abs(k2).max())
+    assert float(jnp.abs(k1 - k2).max()) / denom < 2e-2
+    np.testing.assert_allclose(np.asarray(i1), np.asarray(i2), atol=1e-6)
