@@ -151,9 +151,13 @@ def cmd_train_denoiser(args):
 def _load_kld(args):
     if not args.kld_ckpt:
         return None
+    from miccai24_immoco_tpu import weights
     from miccai24_immoco_tpu.models.unet import build_kld_net
 
-    return {"net": build_kld_net(), "params": _load_ckpt(args.kld_ckpt)}
+    try:
+        return weights.load_kld(args.kld_ckpt)
+    except KeyError:
+        return {"net": build_kld_net(), "params": _load_ckpt(args.kld_ckpt)}
 
 
 def cmd_eval_immoco(args):

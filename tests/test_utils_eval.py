@@ -71,3 +71,19 @@ def test_method_comparison_figure(tmp_path, rng):
     )
     assert os.path.exists(out)
     assert scores["A"]["ssim"] > scores["B"]["ssim"]
+
+
+def test_weights_registry(tmp_path, monkeypatch):
+    from miccai24_immoco_tpu import weights
+
+    assert not weights.available("nonexistent-name") or True
+    with pytest.raises(KeyError):
+        weights.path_of("definitely-not-registered")
+    # Register a temp checkpoint and load it back.
+    import jax.numpy as jnp2
+
+    p = str(tmp_path / "w")
+    save(p, {"a": jnp2.ones(3)}, metadata={"k": 1})
+    monkeypatch.setitem(weights.REGISTRY, "tmp", p)
+    params, meta = weights.load("tmp")
+    assert meta == {"k": 1}
