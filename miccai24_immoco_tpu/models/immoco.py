@@ -191,6 +191,44 @@ def make_instance_fit(
     return fit
 
 
+def make_image_fit(model: IMMoCoModel):
+    """Image-INR-only fit: pure FFT data-consistency to a (motion-free)
+    k-space, no motion model (BASELINE.json config 1 — the smallest end-to-
+    end slice of the stack).  (kspace, key, statics) -> FitResult."""
+    cfg = model.cfg
+    lambdas = jnp.asarray(lambda_schedule(cfg))
+    opt = optax.adam(cfg.learning_rate, b1=cfg.b1, b2=cfg.b2, eps=cfg.eps)
+
+    def fit(kspace, key, statics) -> FitResult:
+        scale = jnp.abs(kspace).max()
+        k_in = kspace / scale * cfg.kspace_scale
+        params = model.init(key)
+        opt_state = opt.init(params)
+
+        def loss_fn(p, lam):
+            image = model.predict_image(p, statics)
+            return real_pair_mse(fft2c(image), k_in) + lam * gradient_entropy(
+                image
+            )
+
+        def step(carry, lam):
+            p, s = carry
+            loss, grads = jax.value_and_grad(loss_fn)(p, lam)
+            updates, s = opt.update(grads, s)
+            return (optax.apply_updates(p, updates), s), loss
+
+        (params, _), losses = jax.lax.scan(step, (params, opt_state), lambdas)
+        image = model.predict_image(params, statics)
+        descale = scale / cfg.kspace_scale
+        return FitResult(
+            image=image * descale,
+            kspace_forward=fft2c(image) * descale,
+            losses=losses,
+        )
+
+    return fit
+
+
 def make_segmented_fit(model: IMMoCoModel, segment_len: int = 25):
     """Segmented variant of the instance fit for runtimes that bound
     single-program execution time (e.g. tunneled/preemptible TPUs).

@@ -150,3 +150,23 @@ def test_fit_is_jit_compiled_once():
     np.testing.assert_allclose(
         np.asarray(r1.image), np.asarray(r2.image), atol=1e-6
     )
+
+
+def test_image_only_fit_reconstructs_clean_slice():
+    """BASELINE config 1: Image-INR DC fit to a motion-free slice should
+    reconstruct it nearly exactly (this one must work even at toy scale)."""
+    from miccai24_immoco_tpu.models.immoco import make_image_fit
+    from miccai24_immoco_tpu.ops.fft import fft2c
+
+    img = synthetic_brain(48, 48)
+    ksp = fft2c(img)
+    cfg = small_cfg("lattice", "lattice", iters=150, max_movements=2)
+    model = build_immoco(cfg, 48, 48)
+    fit = jax.jit(make_image_fit(model))
+    r = fit(ksp, jax.random.PRNGKey(0), model.statics)
+
+    gt = jnp.abs(img)[None, None]
+    rec = jnp.abs(r.image)[None, None]
+    m = calmetric2d(center_crop_quarter(rec), center_crop_quarter(gt))
+    assert float(m.ssim) > 0.95, float(m.ssim)
+    assert float(r.losses[-1]) < 1e-2 * float(r.losses[0])
