@@ -165,13 +165,22 @@ def cmd_eval_immoco(args):
     from miccai24_immoco_tpu.eval.harness import save_report
     from miccai24_immoco_tpu.eval.runners import run_immoco
 
+    from miccai24_immoco_tpu.eval.harness import comparison_figure
+
     cfg = InstanceFitConfig(iters=args.iters)
     kld = _load_kld(args)
     per_scenario = {}
     for scenario in args.scenarios.split(","):
         corpus = _get_corpus(args, scenario)
-        metrics, _ = run_immoco(corpus, cfg, kld=kld, limit=args.limit)
+        metrics, images = run_immoco(
+            corpus, cfg, kld=kld, limit=args.limit, collect_images=True
+        )
         per_scenario[scenario] = metrics
+        if images:
+            comparison_figure(
+                images,
+                os.path.join(args.out_dir, f"immoco_{scenario}.png"),
+            )
     save_report(per_scenario, args.out_dir, "immoco")
     print(json.dumps({s: _agg(m) for s, m in per_scenario.items()}, indent=2))
 
@@ -351,6 +360,40 @@ def cmd_paper_figure(args):
     print(json.dumps(scores, indent=2), "\nsaved", out)
 
 
+def cmd_eval_downstream(args):
+    import jax
+
+    from miccai24_immoco_tpu.config import InstanceFitConfig
+    from miccai24_immoco_tpu.eval.downstream import run_downstream
+    from miccai24_immoco_tpu.models.immoco import motion_correct
+    from miccai24_immoco_tpu.ops.masks import extract_movement_groups
+
+    corpus = _get_corpus(args, args.scenarios.split(",")[0])
+    n = args.limit or corpus["kspace_motion"].shape[0]
+    rng = np.random.default_rng(0)
+    if args.boxes_npz:
+        z = np.load(args.boxes_npz, allow_pickle=True)
+        boxes = list(z["boxes"])
+    else:
+        # Synthetic lesion centers near the middle of each slice.
+        boxes = [
+            rng.uniform(-0.3, 0.3, size=(2, 2)).astype(np.float32)
+            for _ in range(n)
+        ]
+
+    cfg = InstanceFitConfig(iters=args.iters)
+
+    def correct(ksp, mask):
+        masks, _ = extract_movement_groups(
+            jnp.asarray(mask[0] > 0), ksp.shape[0], cfg.max_movements
+        )
+        return motion_correct(ksp, masks, cfg).image
+
+    metrics = run_downstream(corpus, correct, boxes, limit=args.limit,
+                             patch_size=args.patch_size)
+    print(json.dumps(_agg(metrics), indent=2))
+
+
 def cmd_bench(args):
     os.environ.setdefault("BENCH_BATCH", str(args.batch))
     os.environ.setdefault("BENCH_ITERS", str(args.iters))
@@ -446,6 +489,13 @@ def build_parser() -> argparse.ArgumentParser:
     e.add_argument("--iters", type=int, default=200)
     e.add_argument("--index", type=int, default=0)
     e.set_defaults(fn=cmd_paper_figure)
+
+    e = sub.add_parser("eval-downstream")
+    common_eval(e)
+    e.add_argument("--iters", type=int, default=200)
+    e.add_argument("--boxes-npz")
+    e.add_argument("--patch-size", type=int, default=124)
+    e.set_defaults(fn=cmd_eval_downstream)
 
     b = sub.add_parser("bench")
     b.add_argument("--batch", type=int, default=4)

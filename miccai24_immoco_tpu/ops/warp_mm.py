@@ -68,7 +68,12 @@ def bilinear_sample_mm(
             return (coord + 1.0) * 0.5 * (size - 1)
         return ((coord + 1.0) * size - 1.0) * 0.5
 
+    @jax.checkpoint
     def warp_one(grid):  # (Ho, Wo, 2) -> (Ho, Wo, planes)
+        # Rematerialized: the one-hot matrices (N x H bf16 each) would
+        # otherwise be saved per movement for the backward pass (~25 GB for
+        # a batch of four 24-movement fits); recomputing them costs two
+        # cheap elementwise passes.
         gx = unnormalize(grid[..., 0].reshape(-1), w)
         gy = unnormalize(grid[..., 1].reshape(-1), h)
         ay = _one_hot_lerp(gy, h, compute_dtype)  # (N, H)
