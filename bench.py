@@ -57,7 +57,9 @@ def main():
     iters = int(os.environ.get("BENCH_ITERS", "200"))
     size = int(os.environ.get("BENCH_SIZE", "320"))
     enc = os.environ.get("BENCH_ENCODING", "lattice")
-    max_mov = 24
+    max_mov = int(os.environ.get("BENCH_MAXMOV", "12"))
+    # light protocol: 8 movements; 12 covers every light slice (6-9 groups
+    # plus detector over-segmentation headroom). Heavy runs use 24.
 
     cfg = InstanceFitConfig(
         iters=iters,
@@ -84,7 +86,7 @@ def main():
     _sync(masks)
 
     model = build_immoco(cfg, size, size)
-    seg_len = int(os.environ.get("BENCH_SEG", "20"))
+    seg_len = int(os.environ.get("BENCH_SEG", "50"))
     fit = make_batched_segmented_fit(model, segment_len=seg_len)
     keys = jax.random.split(jax.random.PRNGKey(1), batch)
 
