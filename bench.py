@@ -61,11 +61,14 @@ def main():
     # light protocol: 8 movements; 12 covers every light slice (6-9 groups
     # plus detector over-segmentation headroom). Heavy runs use 24.
 
+    band = int(os.environ.get("BENCH_BAND", "32"))  # 0 disables banding
     cfg = InstanceFitConfig(
         iters=iters,
         max_movements=max_mov,
         image_inr=ImageINRConfig(encoding=enc),
         motion_inr=MotionINRConfig(encoding="lattice"),
+        warp_band_px=band,
+        motion_disp_px=(band - 2) if band else None,
     )
 
     images = phantom_stack(batch, size, size, seed=0)
@@ -131,6 +134,8 @@ def main():
                 "iters": iters,
                 "size": size,
                 "encoding": enc,
+                "band_px": band,
+                "max_movements": max_mov,
                 "ssim_fit": round(float(fit_q[0]), 4),
                 "psnr_fit": round(float(fit_q[1]), 2),
                 "ssim_corrupted": round(float(cor_q[0]), 4),

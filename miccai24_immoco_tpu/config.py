@@ -139,6 +139,14 @@ class InstanceFitConfig:
     # matmuls (no gather/scatter — 35x faster per fit iteration on TPU, see
     # ops/warp_mm.py); "gather" is the torch-semantics reference path.
     warp_impl: str = "matmul"
+    # Optional displacement cap in pixels: scales the Motion INR's tanh
+    # output so |displacement| <= motion_disp_px (reference allows the full
+    # +-1 normalized range = +-half the image; protocol motions are <=~30 px
+    # at the corners). Required by the banded warp; None = full range.
+    motion_disp_px: Optional[int] = None
+    # Banded-warp block size (0 = dense one-hots). Exactness requires
+    # motion_disp_px <= warp_band_px - 2; 32/30 cuts warp FLOPs 3.3x.
+    warp_band_px: int = 0
 
 
 @dataclasses.dataclass(frozen=True)

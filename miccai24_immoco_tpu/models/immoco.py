@@ -101,6 +101,18 @@ class IMMoCoModel:
         image = self.predict_image(params, statics)
 
         disp = jnp.tanh(self.motion_inr.apply(params["motion"], statics["motion"]))
+        if self.cfg.motion_disp_px is not None:
+            # Bounded displacement: +-motion_disp_px pixels instead of the
+            # full +-1 normalized range (banded-warp prerequisite; protocol
+            # motions stay well inside the bound).
+            scale = jnp.asarray(
+                [
+                    2.0 * self.cfg.motion_disp_px / self.width,
+                    2.0 * self.cfg.motion_disp_px / self.height,
+                ],
+                jnp.float32,
+            )
+            disp = disp * scale
         grids = disp + statics["id_grid"][None]
 
         m = masks.shape[0]
@@ -108,7 +120,10 @@ class IMMoCoModel:
             # MXU path: bilinear sampling as one-hot matmuls; identical
             # semantics to grid_sample(bilinear, zeros, align_corners=False)
             # with a scatter-free backward (ops/warp_mm.py).
-            motion_images = bilinear_sample_mm(image, grids, align_corners=False)
+            motion_images = bilinear_sample_mm(
+                image, grids, align_corners=False,
+                band_px=self.cfg.warp_band_px,
+            )
         else:
             motion_images = grid_sample(
                 jnp.broadcast_to(

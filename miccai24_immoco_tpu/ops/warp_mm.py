@@ -49,11 +49,20 @@ def bilinear_sample_mm(
     grids: jnp.ndarray,
     align_corners: bool = False,
     compute_dtype=jnp.bfloat16,
+    band_px: int = 0,
 ) -> jnp.ndarray:
     """Warp one (H, W) complex/real image by (M, Ho, Wo, 2) sampling grids.
 
     Equivalent to vmapped grid_sample(..., "bilinear", "zeros",
     align_corners) of the shared image; all-matmul implementation.
+
+    band_px > 0 enables the *banded* variant: output rows are processed in
+    blocks of ``band_px`` and the y one-hot spans only the 3-block image-row
+    window around each block, cutting the dominant matmul's K dimension from
+    H to 3*band_px (3.3x fewer FLOPs at 320^2 with band_px=32).  Exact as
+    long as every point's vertical displacement satisfies
+    |gy - row| <= band_px - 1 (callers bound the displacement field; see
+    InstanceFitConfig.motion_disp_px).  Requires Ho % band_px == 0.
     """
     h, w = image.shape
     m, ho, wo, _ = grids.shape
@@ -68,6 +77,19 @@ def bilinear_sample_mm(
             return (coord + 1.0) * 0.5 * (size - 1)
         return ((coord + 1.0) * size - 1.0) * 0.5
 
+    def _sample(ay, ax, planes_block):
+        # rows[p, x, c] = sum_y ay[p, y] * planes_block[y, x, c]
+        rows = jax.lax.dot_general(
+            ay,
+            planes_block,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (N, W, C) fp32
+        return jnp.einsum(
+            "nwc,nw->nc", rows.astype(compute_dtype), ax,
+            preferred_element_type=jnp.float32,
+        )
+
     @jax.checkpoint
     def warp_one(grid):  # (Ho, Wo, 2) -> (Ho, Wo, planes)
         # Rematerialized: the one-hot matrices (N x H bf16 each) would
@@ -78,20 +100,38 @@ def bilinear_sample_mm(
         gy = unnormalize(grid[..., 1].reshape(-1), h)
         ay = _one_hot_lerp(gy, h, compute_dtype)  # (N, H)
         ax = _one_hot_lerp(gx, w, compute_dtype)  # (N, W)
-        # rows[p, x, c] = sum_y ay[p, y] * img[y, x, c]
-        rows = jax.lax.dot_general(
-            ay,
-            planes_c,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # (N, W, C) fp32
-        out = jnp.einsum(
-            "nwc,nw->nc", rows.astype(compute_dtype), ax,
-            preferred_element_type=jnp.float32,
-        )
-        return out.reshape(ho, wo, -1)
+        return _sample(ay, ax, planes_c).reshape(ho, wo, -1)
 
-    out = jax.lax.map(warp_one, grids)  # (M, Ho, Wo, C)
+    @jax.checkpoint
+    def warp_one_banded(grid):  # (Ho, Wo, 2) with block-local y one-hots
+        b = band_px
+        n_blocks = ho // b
+        win = 3 * b
+
+        def block(i):
+            g = jax.lax.dynamic_slice(
+                grid, (i * b, 0, 0), (b, wo, 2)
+            )
+            gx = unnormalize(g[..., 0].reshape(-1), w)
+            gy = unnormalize(g[..., 1].reshape(-1), h)
+            # Image-row window [start, start + 3b) covering rows
+            # [i*b - b, (i+1)*b + b), clipped to the image.
+            start = jnp.clip(i * b - b, 0, h - win)
+            ay = _one_hot_lerp(gy - start, win, compute_dtype)  # (n, 3b)
+            ax = _one_hot_lerp(gx, w, compute_dtype)
+            pb = jax.lax.dynamic_slice(
+                planes_c, (start, 0, 0), (win, w, planes_c.shape[-1])
+            )
+            return _sample(ay, ax, pb).reshape(b, wo, -1)
+
+        return jax.lax.map(block, jnp.arange(n_blocks)).reshape(ho, wo, -1)
+
+    if band_px > 0:
+        if ho % band_px:
+            raise ValueError(f"Ho={ho} not divisible by band_px={band_px}")
+        out = jax.lax.map(warp_one_banded, grids)
+    else:
+        out = jax.lax.map(warp_one, grids)  # (M, Ho, Wo, C)
     if jnp.iscomplexobj(image):
         return jax.lax.complex(out[..., 0], out[..., 1])
     return out[..., 0]

@@ -102,3 +102,43 @@ def test_model_forward_matmul_matches_gather(rng):
     denom = float(jnp.abs(k2).max())
     assert float(jnp.abs(k1 - k2).max()) / denom < 2e-2
     np.testing.assert_allclose(np.asarray(i1), np.asarray(i2), atol=1e-6)
+
+
+def test_banded_matches_dense_for_bounded_displacement(rng):
+    h = w = 64
+    img = (rng.standard_normal((h, w)) + 1j * rng.standard_normal((h, w))).astype(
+        np.complex64
+    )
+    # Displacements bounded to ~10 px (< band 16 - 2).
+    disp = 10.0 / (w / 2.0) * jnp.tanh(
+        jnp.asarray(rng.standard_normal((2, h, w, 2)).astype(np.float32))
+    )
+    idg = identity_grid((h, w), align_corners=True)
+    grids = disp + idg[None]
+    dense = bilinear_sample_mm(jnp.asarray(img), grids,
+                               compute_dtype=jnp.float32)
+    banded = bilinear_sample_mm(jnp.asarray(img), grids,
+                                compute_dtype=jnp.float32, band_px=16)
+    np.testing.assert_allclose(np.asarray(banded), np.asarray(dense),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_banded_gradients(rng):
+    h = w = 32
+    img = jnp.asarray(rng.standard_normal((h, w)).astype(np.float32))
+    disp = 4.0 / (w / 2.0) * jnp.tanh(
+        jnp.asarray(rng.standard_normal((1, h, w, 2)).astype(np.float32))
+    )
+    idg = identity_grid((h, w), align_corners=True)
+    grids = disp + idg[None]
+
+    def loss(im, band):
+        return jnp.sum(
+            bilinear_sample_mm(im, grids, compute_dtype=jnp.float32,
+                               band_px=band) ** 2
+        )
+
+    g_b = jax.grad(lambda im: loss(im, 8))(img)
+    g_d = jax.grad(lambda im: loss(im, 0))(img)
+    np.testing.assert_allclose(np.asarray(g_b), np.asarray(g_d),
+                               rtol=1e-4, atol=1e-5)
