@@ -124,7 +124,10 @@ def bilinear_sample_mm(
             )
             return _sample(ay, ax, pb).reshape(b, wo, -1)
 
-        return jax.lax.map(block, jnp.arange(n_blocks)).reshape(ho, wo, -1)
+        # vmap (not lax.map): 10 blocks of ~1 GFLOP each must overlap to
+        # keep the MXU busy; sequential mapping measured slower than the
+        # dense one-hot despite 3.3x fewer FLOPs.
+        return jax.vmap(block)(jnp.arange(n_blocks)).reshape(ho, wo, -1)
 
     if band_px > 0:
         if ho % band_px:
