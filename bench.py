@@ -61,14 +61,18 @@ def main():
     # light protocol: 8 movements; 12 covers every light slice (6-9 groups
     # plus detector over-segmentation headroom). Heavy runs use 24.
 
-    band = int(os.environ.get("BENCH_BAND", "32"))  # 0 disables banding
+    # Banding measured slightly slower than dense one-hots at 320^2 (the
+    # K=96 blocks underutilize the MXU); the displacement cap alone improves
+    # converged quality, so they are independent knobs.
+    band = int(os.environ.get("BENCH_BAND", "0"))
+    disp_cap = int(os.environ.get("BENCH_DISPCAP", "30"))
     cfg = InstanceFitConfig(
         iters=iters,
         max_movements=max_mov,
         image_inr=ImageINRConfig(encoding=enc),
         motion_inr=MotionINRConfig(encoding="lattice"),
         warp_band_px=band,
-        motion_disp_px=(band - 2) if band else None,
+        motion_disp_px=disp_cap if disp_cap > 0 else None,
     )
 
     images = phantom_stack(batch, size, size, seed=0)
