@@ -25,10 +25,26 @@ def save(path: str, tree: Any, metadata: Optional[Dict] = None) -> None:
 
 
 def restore(path: str) -> Any:
+    import jax
     import orbax.checkpoint as ocp
 
     ckpt = ocp.StandardCheckpointer()
-    return ckpt.restore(os.path.abspath(path))
+    path = os.path.abspath(path)
+    try:
+        return ckpt.restore(path)
+    except ValueError:
+        # Cross-device restore (e.g. checkpoint saved on CPU, restored on
+        # TPU): rebuild an abstract target from the stored metadata so orbax
+        # places arrays on the current default device instead of the saved
+        # sharding.
+        meta = ckpt.metadata(path).item_metadata
+        tree = meta.tree if hasattr(meta, "tree") else meta
+
+        def to_abstract(m):
+            return jax.ShapeDtypeStruct(m.shape, m.dtype)
+
+        target = jax.tree.map(to_abstract, tree)
+        return ckpt.restore(path, target)
 
 
 def restore_with_meta(path: str) -> Tuple[Any, Dict]:

@@ -71,3 +71,20 @@ def test_cli_eval_immoco_synthetic(tmp_path, capsys):
     assert "light" in stats and "ssim" in stats["light"]
     assert os.path.exists(tmp_path / "results" / "immoco.json")
     assert os.path.exists(tmp_path / "results" / "immoco.tex")
+
+
+def test_cli_eval_downstream_synthetic(capsys):
+    main(
+        [
+            "eval-downstream",
+            "--synthetic", "1",
+            "--size", "32",
+            "--scenarios", "light",
+            "--iters", "2",
+            "--limit", "1",
+            "--patch-size", "12",
+        ]
+    )
+    out = capsys.readouterr().out
+    stats = json.loads(out[out.index("{"):])
+    assert "ssim" in stats and "rmse" in stats
