@@ -39,9 +39,10 @@ def restore(path: str) -> Any:
         # sharding.
         meta = ckpt.metadata(path).item_metadata
         tree = meta.tree if hasattr(meta, "tree") else meta
+        sharding = jax.sharding.SingleDeviceSharding(jax.devices()[0])
 
         def to_abstract(m):
-            return jax.ShapeDtypeStruct(m.shape, m.dtype)
+            return jax.ShapeDtypeStruct(m.shape, m.dtype, sharding=sharding)
 
         target = jax.tree.map(to_abstract, tree)
         return ckpt.restore(path, target)
