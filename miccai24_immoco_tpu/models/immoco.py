@@ -124,6 +124,14 @@ class IMMoCoModel:
                 image, grids, align_corners=False,
                 band_px=self.cfg.warp_band_px,
             )
+        elif self.cfg.warp_impl == "pallas":
+            from miccai24_immoco_tpu.ops.warp_pallas import (
+                bilinear_sample_pallas,
+            )
+
+            motion_images = bilinear_sample_pallas(
+                image, grids, align_corners=False
+            )
         else:
             motion_images = grid_sample(
                 jnp.broadcast_to(
