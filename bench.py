@@ -73,6 +73,7 @@ def main():
         motion_inr=MotionINRConfig(encoding="lattice"),
         warp_band_px=band,
         motion_disp_px=disp_cap if disp_cap > 0 else None,
+        compute_dtype=os.environ.get("BENCH_DTYPE", "float32"),
     )
 
     images = phantom_stack(batch, size, size, seed=0)
