@@ -325,27 +325,16 @@ def cmd_paper_figure(args):
 
     from miccai24_immoco_tpu.config import InstanceFitConfig
     from miccai24_immoco_tpu.eval.figures import method_comparison_figure
-    from miccai24_immoco_tpu.eval.runners import run_immoco
     from miccai24_immoco_tpu.ops.fft import ifft2c
     from miccai24_immoco_tpu.utils.hostio import get_complex, put_complex
+
+    from miccai24_immoco_tpu.models.immoco import motion_correct
+    from miccai24_immoco_tpu.ops.masks import extract_movement_groups
 
     corpus = _get_corpus(args, args.scenarios.split(",")[0])
     idx = args.index
     ksp = put_complex(corpus["kspace_motion"][idx])
     gt = corpus["image_rss"][idx]
-    sub = {
-        k: (v[idx : idx + 1] if hasattr(v, "__getitem__") else v)
-        for k, v in corpus.items()
-    }
-    metrics, _ = run_immoco(
-        sub, InstanceFitConfig(iters=args.iters), kld=_load_kld(args), limit=1,
-        collect_images=True,
-    )
-    corrected = None
-    # Re-run fit directly to fetch the image (runners returns metrics).
-    from miccai24_immoco_tpu.models.immoco import motion_correct
-    from miccai24_immoco_tpu.ops.masks import extract_movement_groups
-
     masks, _ = extract_movement_groups(
         jnp.asarray(corpus["mask"][idx][0] > 0), ksp.shape[0], 24
     )

@@ -346,9 +346,14 @@ def motion_correct(
     masks: jnp.ndarray,
     cfg: InstanceFitConfig = InstanceFitConfig(),
     key: Optional[jax.Array] = None,
+    segment_len: int = 50,
 ) -> FitResult:
     """One-call convenience API mirroring imcoco_motion_correction
-    (immoco.py:116). Jits on first use per (H, W, cfg) combination."""
+    (immoco.py:116). Jits on first use per (H, W, cfg) combination.
+
+    Runs as compiled segments (numerically identical to the single-graph
+    scan; required on runtimes that bound per-program execution time).
+    """
     h, w = kspace.shape
     model = build_immoco(cfg, h, w)
     if masks.shape[0] != cfg.max_movements:
@@ -360,5 +365,5 @@ def motion_correct(
         masks = jnp.pad(masks.astype(jnp.float32), ((0, pad), (0, 0), (0, 0)))
     if key is None:
         key = jax.random.PRNGKey(0)
-    fit = jax.jit(make_instance_fit(model))
+    fit = make_segmented_fit(model, segment_len=segment_len)
     return fit(kspace, masks.astype(jnp.float32), key, model.statics)
