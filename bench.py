@@ -78,12 +78,14 @@ def main():
 
     images = phantom_stack(batch, size, size, seed=0)
 
+    n_mov = int(os.environ.get("BENCH_NMOV", "8"))  # light=8; heavy: 18 + BENCH_MAXMOV=24
+
     @jax.jit
     def prepare(images, key):
         keys = jax.random.split(key, images.shape[0])
 
         def one(img, k):
-            sim = simulate_motion_2d(k, img, n_movements=8, max_movements=max_mov)
+            sim = simulate_motion_2d(k, img, n_movements=n_mov, max_movements=max_mov)
             masks, _ = extract_movement_groups(sim.mask[0], size, max_mov)
             return sim.kspace, masks
 
