@@ -125,8 +125,9 @@ def cmd_train_kld(args):
 
     train, val = _train_kspace_stacks(args)
     cfg = KLDTrainConfig(steps=args.steps)
+    resume = _load_ckpt(args.resume) if args.resume else None
     state = train_kld_net(
-        train, val, cfg=cfg, steps=args.steps,
+        train, val, cfg=cfg, steps=args.steps, resume_params=resume,
         log_fn=lambda i, s: print(i, json.dumps(s)),
     )
     _save_ckpt(args.out, state.best_params or state.params)
@@ -413,6 +414,7 @@ def build_parser() -> argparse.ArgumentParser:
     d.set_defaults(fn=cmd_prepare_data)
 
     def common_train(sp):
+        sp.add_argument("--resume", help="checkpoint to continue from")
         sp.add_argument("--train-npz")
         sp.add_argument("--val-npz")
         sp.add_argument("--synthetic", type=int, default=16)

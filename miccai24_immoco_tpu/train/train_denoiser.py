@@ -13,6 +13,10 @@ Recipe parity with reference train_unet_denoiser.py:
   the L1 term normalizes but the SSIM term does not)
 - checkpoint gate: validation SSIM improvement vs corrupted >= 10 SSIM
   points (:77-78,:200-210)
+
+The reference's fifth training script, train_unet_denoiser_classification.py
+(the "unet_denoising_classification_task" checkpoint), is this same trainer
+pointed at the detection-slice corpus — pass that corpus's k-space stack.
 """
 
 from __future__ import annotations

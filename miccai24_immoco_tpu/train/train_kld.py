@@ -72,10 +72,12 @@ def make_kld_trainer(
     )
     opt = optax.adamw(schedule)
 
-    def init_fn(key) -> Tuple[dict, optax.OptState]:
-        params = net.init(
-            {"params": key}, jnp.zeros((1, h, w, 2), jnp.float32), train=False
-        )["params"]
+    def init_fn(key, params: Optional[dict] = None) -> Tuple[dict, optax.OptState]:
+        if params is None:
+            params = net.init(
+                {"params": key}, jnp.zeros((1, h, w, 2), jnp.float32),
+                train=False,
+            )["params"]
         return params, opt.init(params)
 
     def simulate(key, kspace_clean):
@@ -129,8 +131,14 @@ def train_kld_net(
     steps: Optional[int] = None,
     log_every: int = 50,
     log_fn: Callable[[int, Dict], None] = lambda i, s: None,
+    resume_params: Optional[dict] = None,
 ) -> KLDTrainState:
-    """Full training loop over device-resident (N, H, W) complex stacks."""
+    """Full training loop over device-resident (N, H, W) complex stacks.
+
+    resume_params: previously saved network params to continue from (the
+    reference is save-only with no resume, SURVEY.md §5; optimizer state
+    restarts fresh, matching the reference's best-checkpoint semantics).
+    """
     steps = steps or cfg.steps
     net = build_unet(unet_cfg)
     h, w = kspace_train.shape[-2:]
@@ -139,7 +147,7 @@ def train_kld_net(
     )
     key = jax.random.PRNGKey(cfg.seed)
     key, init_key = jax.random.split(key)
-    params, opt_state = init_fn(init_key)
+    params, opt_state = init_fn(init_key, params=resume_params)
 
     n_train = kspace_train.shape[0]
     n_val = kspace_val.shape[0]

@@ -101,3 +101,22 @@ def test_kspace_input_and_indicators(rng):
     # Sub-threshold columns are dropped.
     weak = jnp.zeros((32, 32)).at[:5, 10].set(1.0)
     assert not bool(mask_to_line_indicators(weak)[10])
+
+
+def test_kld_training_resume(tmp_path):
+    """Save -> resume round-trip continues training without structure errors."""
+    from miccai24_immoco_tpu.train.train_kld import train_kld_net
+    from miccai24_immoco_tpu.utils.checkpoint import restore, save
+
+    images = phantom_stack(4, 32, 32, seed=7)
+    ksp = fft2c(images)
+    cfg = KLDTrainConfig(steps=2, batch_size=2, learning_rate=3e-4)
+    unet_cfg = UnetConfig(in_chans=2, out_chans=1, chans=4, num_pool_layers=2)
+    state = train_kld_net(ksp[:3], ksp[3:], cfg=cfg, unet_cfg=unet_cfg, steps=2)
+    p = str(tmp_path / "ck")
+    save(p, state.params)
+    resumed = train_kld_net(
+        ksp[:3], ksp[3:], cfg=cfg, unet_cfg=unet_cfg, steps=2,
+        resume_params=restore(p),
+    )
+    assert resumed.step == 2
