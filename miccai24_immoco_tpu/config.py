@@ -203,6 +203,7 @@ class AutofocusingConfig:
     learning_rate: float = 1.0
     loss_scale: float = 1e-4
     max_movements: int = 24
+    warp_impl: str = "matmul"  # "matmul" (MXU one-hot) | "gather" (torch path)
 
 
 @dataclasses.dataclass(frozen=True)

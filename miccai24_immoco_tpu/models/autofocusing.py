@@ -34,6 +34,7 @@ from miccai24_immoco_tpu.config import AutofocusingConfig
 from miccai24_immoco_tpu.ops.fft import fft2c, ifft2c
 from miccai24_immoco_tpu.ops.losses import gradient_entropy
 from miccai24_immoco_tpu.ops.warp import affine_grid, grid_sample
+from miccai24_immoco_tpu.ops.warp_mm import bicubic_sample_mm
 
 
 class AutofocusResult(NamedTuple):
@@ -42,8 +43,14 @@ class AutofocusResult(NamedTuple):
     losses: jnp.ndarray  # (iters,)
 
 
-def autofocus_forward(params, ks_input: jnp.ndarray, masks: jnp.ndarray):
-    """params: dict(rot, x_shifts, y_shifts) each (M,); masks (M, H, W)."""
+def autofocus_forward(params, ks_input: jnp.ndarray, masks: jnp.ndarray,
+                      warp_impl: str = "matmul"):
+    """params: dict(rot, x_shifts, y_shifts) each (M,); masks (M, H, W).
+
+    warp_impl "matmul" runs the bicubic resampling as one-hot MXU matmuls
+    (gather/scatter-free, same semantics; see ops/warp_mm.py); "gather" is
+    the torch-semantics reference path.
+    """
     h, w = ks_input.shape
     m = masks.shape[0]
 
@@ -71,10 +78,13 @@ def autofocus_forward(params, ks_input: jnp.ndarray, masks: jnp.ndarray):
     )  # (M, 2, 3)
 
     grids = affine_grid(theta, (h, w), align_corners=True)
-    warped = grid_sample(
-        images[:, None], grids, mode="bicubic", padding_mode="zeros",
-        align_corners=False,
-    )[:, 0]
+    if warp_impl == "matmul":
+        warped = bicubic_sample_mm(images, grids, align_corners=False)
+    else:
+        warped = grid_sample(
+            images[:, None], grids, mode="bicubic", padding_mode="zeros",
+            align_corners=False,
+        )[:, 0]
 
     return ks_input * (1.0 - masks.sum(0)) + (fft2c(warped) * masks).sum(0)
 
@@ -95,7 +105,7 @@ def make_autofocus_fit(cfg: AutofocusingConfig = AutofocusingConfig()):
         state = opt.init(params)
 
         def loss_fn(p):
-            k_out = autofocus_forward(p, ks, masks)
+            k_out = autofocus_forward(p, ks, masks, cfg.warp_impl)
             return gradient_entropy(ifft2c(k_out)) * cfg.loss_scale
 
         def step(carry, _):
@@ -107,7 +117,7 @@ def make_autofocus_fit(cfg: AutofocusingConfig = AutofocusingConfig()):
         (params, _), losses = jax.lax.scan(
             step, (params, state), None, length=cfg.iters
         )
-        k_out = autofocus_forward(params, ks, masks) * scale
+        k_out = autofocus_forward(params, ks, masks, cfg.warp_impl) * scale
         return AutofocusResult(image=ifft2c(k_out), kspace=k_out, losses=losses)
 
     return fit

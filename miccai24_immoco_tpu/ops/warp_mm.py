@@ -32,6 +32,70 @@ import jax
 import jax.numpy as jnp
 
 
+def _one_hot_cubic(pos: jnp.ndarray, size: int, dtype) -> jnp.ndarray:
+    """pos: (N,) fractional pixel coords -> (N, size) cubic-convolution
+    interpolation rows (a = -0.75, torch bicubic) with 4 taps at
+    floor(pos) + (-1, 0, 1, 2); taps outside [0, size) contribute zero,
+    matching grid_sample's zeros padding."""
+    from miccai24_immoco_tpu.ops.warp import _cubic_weights
+
+    p0 = jnp.floor(pos)
+    t = pos - p0
+    weights = _cubic_weights(t)  # 4 x (N,)
+    idx = jax.lax.broadcasted_iota(jnp.int32, (pos.shape[0], size), 1)
+    p0i = p0.astype(jnp.int32)[:, None]
+    out = jnp.zeros((pos.shape[0], size), dtype)
+    for tap in range(4):
+        onehot = (idx == p0i + (tap - 1)).astype(dtype)
+        out = out + onehot * weights[tap].astype(dtype)[:, None]
+    return out
+
+
+def bicubic_sample_mm(
+    image: jnp.ndarray,
+    grids: jnp.ndarray,
+    align_corners: bool = False,
+    compute_dtype=jnp.bfloat16,
+) -> jnp.ndarray:
+    """Bicubic counterpart of bilinear_sample_mm for (M, H, W) per-movement
+    images (each movement warps its OWN image — the Autofocusing layout,
+    autofocusing.py:75-85), grid_sample(bicubic, zeros, align_corners=False)
+    semantics via one-hot cubic matmuls."""
+    m, h, w = image.shape
+    _, ho, wo, _ = grids.shape
+    if jnp.iscomplexobj(image):
+        planes = jnp.stack([image.real, image.imag], axis=-1)
+    else:
+        planes = image[..., None]
+    planes_c = planes.astype(compute_dtype)  # (M, H, W, C)
+
+    def unnormalize(coord, size):
+        if align_corners:
+            return (coord + 1.0) * 0.5 * (size - 1)
+        return ((coord + 1.0) * size - 1.0) * 0.5
+
+    @jax.checkpoint
+    def warp_one(args):
+        grid, pl = args
+        gx = unnormalize(grid[..., 0].reshape(-1), w)
+        gy = unnormalize(grid[..., 1].reshape(-1), h)
+        ay = _one_hot_cubic(gy, h, compute_dtype)
+        ax = _one_hot_cubic(gx, w, compute_dtype)
+        rows = jax.lax.dot_general(
+            ay, pl,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        out = jnp.einsum("nwc,nw->nc", rows.astype(compute_dtype), ax,
+                         preferred_element_type=jnp.float32)
+        return out.reshape(ho, wo, -1)
+
+    out = jax.lax.map(warp_one, (grids, planes_c))
+    if jnp.iscomplexobj(image):
+        return jax.lax.complex(out[..., 0], out[..., 1])
+    return out[..., 0]
+
+
 def _one_hot_lerp(pos: jnp.ndarray, size: int, dtype) -> jnp.ndarray:
     """pos: (N,) fractional pixel coordinates -> (N, size) interpolation
     rows with (1-t, t) at (floor(pos), floor(pos)+1); zero outside."""

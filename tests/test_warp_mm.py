@@ -142,3 +142,24 @@ def test_banded_gradients(rng):
     g_d = jax.grad(lambda im: loss(im, 0))(img)
     np.testing.assert_allclose(np.asarray(g_b), np.asarray(g_d),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_bicubic_matmul_matches_gather(rng):
+    from miccai24_immoco_tpu.ops.warp_mm import bicubic_sample_mm
+
+    m, h, w = 2, 20, 24
+    imgs = (
+        rng.standard_normal((m, h, w)) + 1j * rng.standard_normal((m, h, w))
+    ).astype(np.complex64)
+    thetas = np.tile(np.eye(2, 3, dtype=np.float32), (m, 1, 1))
+    thetas[:, :, :2] += 0.1 * rng.standard_normal((m, 2, 2)).astype(np.float32)
+    grids = affine_grid(jnp.asarray(thetas), (h, w), align_corners=True)
+
+    ours = bicubic_sample_mm(jnp.asarray(imgs), grids,
+                             compute_dtype=jnp.float32)
+    ref = grid_sample(
+        jnp.asarray(imgs)[:, None], grids, mode="bicubic",
+        padding_mode="zeros", align_corners=False,
+    )[:, 0]
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
