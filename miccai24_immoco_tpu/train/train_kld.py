@@ -88,7 +88,16 @@ def make_kld_trainer(
 
     @jax.jit
     def train_step(params, opt_state, key, kspace_batch):
-        k_key, d_key = jax.random.split(key)
+        # kspace_batch may be the FULL training stack: when it is larger
+        # than the configured batch size, sampling happens inside the jit
+        # (host-side fancy indexing costs a dispatch round-trip per step on
+        # tunneled runtimes).
+        k_key, d_key, b_key = jax.random.split(key, 3)
+        if kspace_batch.shape[0] > cfg.batch_size:
+            idx = jax.random.choice(
+                b_key, kspace_batch.shape[0], (cfg.batch_size,), replace=False
+            )
+            kspace_batch = jnp.take(kspace_batch, idx, axis=0)
         k_corrupt, mask = simulate(k_key, kspace_batch)
         x = kspace_to_input(k_corrupt)
 
@@ -105,6 +114,12 @@ def make_kld_trainer(
 
     @jax.jit
     def eval_step(params, key, kspace_batch):
+        if kspace_batch.shape[0] > cfg.batch_size:
+            key, b_key = jax.random.split(key)
+            idx = jax.random.choice(
+                b_key, kspace_batch.shape[0], (cfg.batch_size,), replace=False
+            )
+            kspace_batch = jnp.take(kspace_batch, idx, axis=0)
         k_corrupt, mask = simulate(key, kspace_batch)
         x = kspace_to_input(k_corrupt)
         logits = net.apply({"params": params}, x, train=False)[..., 0]
@@ -155,17 +170,11 @@ def train_kld_net(
     best_params = None
 
     for i in range(steps):
-        key, b_key, s_key, v_key, vs_key = jax.random.split(key, 5)
-        idx = jax.random.choice(
-            b_key, n_train, (min(cfg.batch_size, n_train),), replace=False
-        )
+        key, s_key, vs_key = jax.random.split(key, 3)
         params, opt_state, loss = train_step(
-            params, opt_state, s_key, kspace_train[idx]
+            params, opt_state, s_key, kspace_train
         )
-        vidx = jax.random.choice(
-            v_key, n_val, (min(cfg.batch_size, n_val),), replace=False
-        )
-        stats = eval_step(params, vs_key, kspace_val[vidx])
+        stats = eval_step(params, vs_key, kspace_val)
         dice = float(stats["dice"])
         if dice > best_dice:
             best_dice = dice
