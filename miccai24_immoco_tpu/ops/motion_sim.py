@@ -42,7 +42,8 @@ import jax.numpy as jnp
 
 from miccai24_immoco_tpu.config import MotionSimConfig
 from miccai24_immoco_tpu.ops.fft import fft2c
-from miccai24_immoco_tpu.ops.warp import affine_grid, grid_sample
+from miccai24_immoco_tpu.ops.warp import affine_grid, grid_sample  # noqa: F401
+from miccai24_immoco_tpu.ops.warp_mm import bilinear_sample_mm
 
 
 class MotionSample(NamedTuple):
@@ -109,13 +110,11 @@ def simulate_motion_2d(
     )  # (M, 2, 3)
 
     grids = affine_grid(theta, (h, w), align_corners=True)  # (M, H, W, 2)
-    warped = grid_sample(
-        jnp.broadcast_to(image[None, None], (max_movements, 1, h, w)),
-        grids,
-        mode="bilinear",
-        padding_mode="border",
-        align_corners=False,
-    )[:, 0]  # (M, H, W) complex
+    # One-hot matmul warp (MXU; gathers are pathologically slow on TPU —
+    # see ops/warp_mm.py); border padding semantics match grid_sample's.
+    warped = bilinear_sample_mm(
+        image, grids, align_corners=False, padding_mode="border"
+    )  # (M, H, W) complex
 
     ksp_clean = fft2c(image)
     ksp_warped = fft2c(warped)  # (M, H, W)

@@ -114,6 +114,7 @@ def bilinear_sample_mm(
     align_corners: bool = False,
     compute_dtype=jnp.bfloat16,
     band_px: int = 0,
+    padding_mode: str = "zeros",
 ) -> jnp.ndarray:
     """Warp one (H, W) complex/real image by (M, Ho, Wo, 2) sampling grids.
 
@@ -138,8 +139,15 @@ def bilinear_sample_mm(
 
     def unnormalize(coord, size):
         if align_corners:
-            return (coord + 1.0) * 0.5 * (size - 1)
-        return ((coord + 1.0) * size - 1.0) * 0.5
+            out = (coord + 1.0) * 0.5 * (size - 1)
+        else:
+            out = ((coord + 1.0) * size - 1.0) * 0.5
+        if padding_mode == "border":
+            # torch bilinear border padding clips the source coordinate
+            # (grid_sampler_compute_source_index), which keeps the one-hot
+            # rows in range — exact semantics match.
+            out = jnp.clip(out, 0.0, size - 1)
+        return out
 
     def _sample(ay, ax, planes_block):
         # rows[p, x, c] = sum_y ay[p, y] * planes_block[y, x, c]

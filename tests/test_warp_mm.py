@@ -163,3 +163,22 @@ def test_bicubic_matmul_matches_gather(rng):
     )[:, 0]
     np.testing.assert_allclose(np.asarray(ours), np.asarray(ref),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_border_padding_matches_gather(rng):
+    h = w = 16
+    img = (rng.standard_normal((h, w)) + 1j * rng.standard_normal((h, w))).astype(
+        np.complex64
+    )
+    thetas = np.tile(np.eye(2, 3, dtype=np.float32), (2, 1, 1))
+    thetas[:, :, 2] = 0.5 * rng.standard_normal((2, 2)).astype(np.float32)
+    grids = affine_grid(jnp.asarray(thetas), (h, w), align_corners=True)
+    ours = bilinear_sample_mm(jnp.asarray(img), grids,
+                              compute_dtype=jnp.float32,
+                              padding_mode="border")
+    ref = grid_sample(
+        jnp.broadcast_to(jnp.asarray(img)[None, None], (2, 1, h, w)),
+        grids, mode="bilinear", padding_mode="border", align_corners=False,
+    )[:, 0]
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)
