@@ -74,6 +74,8 @@ def main():
         warp_band_px=band,
         motion_disp_px=disp_cap if disp_cap > 0 else None,
         compute_dtype=os.environ.get("BENCH_DTYPE", "float32"),
+        kspace_op=os.environ.get("BENCH_KOP", "fft"),
+        warp_tile_px=int(os.environ.get("BENCH_TILE", "0")),
     )
 
     images = phantom_stack(batch, size, size, seed=0)

@@ -147,6 +147,16 @@ class InstanceFitConfig:
     # Banded-warp block size (0 = dense one-hots). Exactness requires
     # motion_disp_px <= warp_band_px - 2; 32/30 cuts warp FLOPs 3.3x.
     warp_band_px: int = 0
+    # 2-D tiled-warp block size (0 = off; supersedes warp_band_px): both
+    # one-hot axes span only a 3-tile window, cutting warp FLOPs ~11x at
+    # tile 32 AND shrinking the rows intermediate (the bandwidth cost).
+    # Exactness requires motion_disp_px <= warp_tile_px - 2.
+    warp_tile_px: int = 0
+    # k-space operator in the forward model: "fft" uses XLA's TPU FFT;
+    # "dft_mm" evaluates the centered DFT as dense MXU matmuls (ops/dft.py)
+    # — measured faster per fit iteration (XLA's TPU FFT lowering is slow)
+    # and matmul-only in the backward too; agrees with the FFT to ~1e-4.
+    kspace_op: str = "fft"
 
 
 @dataclasses.dataclass(frozen=True)

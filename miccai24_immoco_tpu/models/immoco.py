@@ -38,6 +38,7 @@ import optax
 
 from miccai24_immoco_tpu.config import InstanceFitConfig
 from miccai24_immoco_tpu.models.inr import INRSpec, build_inr
+from miccai24_immoco_tpu.ops.dft import centered_dft_statics, fft2c_mm
 from miccai24_immoco_tpu.ops.fft import fft2c
 from miccai24_immoco_tpu.ops.losses import gradient_entropy, real_pair_mse
 from miccai24_immoco_tpu.ops.warp import grid_sample, identity_grid
@@ -123,6 +124,7 @@ class IMMoCoModel:
             motion_images = bilinear_sample_mm(
                 image, grids, align_corners=False,
                 band_px=self.cfg.warp_band_px,
+                tile_px=self.cfg.warp_tile_px,
             )
         elif self.cfg.warp_impl == "pallas":
             from miccai24_immoco_tpu.ops.warp_pallas import (
@@ -143,8 +145,15 @@ class IMMoCoModel:
                 align_corners=False,
             )[:, 0]  # (M, H, W) complex
 
-        dc_term = fft2c(image) * (1.0 - masks.sum(0))
-        mov_term = (fft2c(motion_images) * masks).sum(0)
+        if self.cfg.kspace_op == "dft_mm":
+            # Centered DFT as MXU matmuls (ops/dft.py): XLA's TPU FFT is the
+            # slower lowering for these shapes, and the matmul autodiff keeps
+            # the backward FFT-free too.
+            kfn = lambda x: fft2c_mm(x, statics["dft"])  # noqa: E731
+        else:
+            kfn = fft2c
+        dc_term = kfn(image) * (1.0 - masks.sum(0))
+        mov_term = (kfn(motion_images) * masks).sum(0)
         return dc_term + mov_term, image
 
 
@@ -161,6 +170,8 @@ def build_immoco(cfg: InstanceFitConfig, height: int, width: int) -> IMMoCoModel
             (height, width), True
         ),
     }
+    if cfg.kspace_op == "dft_mm":
+        statics["dft"] = centered_dft_statics(height, width)
     return IMMoCoModel(
         cfg=cfg,
         height=height,

@@ -182,3 +182,69 @@ def test_border_padding_matches_gather(rng):
     )[:, 0]
     np.testing.assert_allclose(np.asarray(ours), np.asarray(ref),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_tiled2d_matches_dense_for_bounded_displacement(rng):
+    h = w = 64
+    img = (rng.standard_normal((h, w)) + 1j * rng.standard_normal((h, w))).astype(
+        np.complex64
+    )
+    # Displacements bounded to ~10 px (< tile 16 - 2), both axes.
+    disp = 10.0 / (w / 2.0) * jnp.tanh(
+        jnp.asarray(rng.standard_normal((2, h, w, 2)).astype(np.float32))
+    )
+    idg = identity_grid((h, w), align_corners=True)
+    grids = disp + idg[None]
+    dense = bilinear_sample_mm(jnp.asarray(img), grids,
+                               compute_dtype=jnp.float32)
+    tiled = bilinear_sample_mm(jnp.asarray(img), grids,
+                               compute_dtype=jnp.float32, tile_px=16)
+    np.testing.assert_allclose(np.asarray(tiled), np.asarray(dense),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_tiled2d_edge_clipping_out_of_image(rng):
+    """Points displaced past the image border must reproduce zeros padding,
+    including in edge tiles where the window is clipped."""
+    h = w = 48
+    img = (rng.standard_normal((h, w)) + 1j * rng.standard_normal((h, w))).astype(
+        np.complex64
+    )
+    # Constant +-12 px shift pushes border tiles outside the image.
+    disp = np.zeros((1, h, w, 2), np.float32)
+    disp[..., 0] = 12.0 / (w / 2.0)
+    disp[..., 1] = -12.0 / (h / 2.0)
+    idg = identity_grid((h, w), align_corners=True)
+    grids = jnp.asarray(disp) + idg[None]
+    dense = bilinear_sample_mm(jnp.asarray(img), grids,
+                               compute_dtype=jnp.float32)
+    tiled = bilinear_sample_mm(jnp.asarray(img), grids,
+                               compute_dtype=jnp.float32, tile_px=16)
+    np.testing.assert_allclose(np.asarray(tiled), np.asarray(dense),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_tiled2d_gradients(rng):
+    h = w = 48
+    img = jnp.asarray(rng.standard_normal((h, w)).astype(np.float32))
+    disp = 4.0 / (w / 2.0) * jnp.tanh(
+        jnp.asarray(rng.standard_normal((1, h, w, 2)).astype(np.float32))
+    )
+    idg = identity_grid((h, w), align_corners=True)
+    grids = disp + idg[None]
+
+    def loss(im, gr, tile):
+        return jnp.sum(
+            bilinear_sample_mm(im, gr, compute_dtype=jnp.float32,
+                               tile_px=tile) ** 2
+        )
+
+    g_t = jax.grad(lambda im: loss(im, grids, 16))(img)
+    g_d = jax.grad(lambda im: loss(im, grids, 0))(img)
+    np.testing.assert_allclose(np.asarray(g_t), np.asarray(g_d),
+                               rtol=1e-4, atol=1e-5)
+    # Grid gradients (motion-INR path) must match too.
+    gg_t = jax.grad(lambda gr: loss(img, gr, 16))(grids)
+    gg_d = jax.grad(lambda gr: loss(img, gr, 0))(grids)
+    np.testing.assert_allclose(np.asarray(gg_t), np.asarray(gg_d),
+                               rtol=1e-4, atol=1e-5)
