@@ -112,12 +112,14 @@ def ssim(
 def _haar_filters(scale: int) -> jnp.ndarray:
     """(2, 2^s, 2^s) horizontal/vertical Haar wavelet filters at a scale.
 
-    Filter values +-1/(2^s)^... follow the HaarPSI paper: a 2^s x 2^s kernel
-    split in halves with opposite signs, normalized by its size so responses
-    are local averages of differences.
+    Filter values are +-2^-s = +-1/n, the official HaarPSI normalization
+    (MATLAB reference ``HaarPSIDec``: ``2^(-scale)*ones(2^scale)``) — NOT
+    1/n^2: the similarity constant C=30 is absolute, so the coefficient
+    scale is part of the metric's definition.  Sign orientation is
+    irrelevant downstream (coefficients are used in absolute value).
     """
     n = 2**scale
-    f = np.ones((n, n), np.float32) / (n * n)
+    f = np.ones((n, n), np.float32) / n
     horiz = f.copy()
     horiz[: n // 2, :] *= -1.0  # difference across rows
     vert = f.copy()
@@ -156,8 +158,12 @@ def haarpsi(
     x = pred * 255.0
     y = gt * 255.0
     if subsample:
-        x = _avg_pool(jnp.pad(x, ((0, 0), (0, 0), (0, 1), (0, 1)), "edge"), 2)
-        y = _avg_pool(jnp.pad(y, ((0, 0), (0, 0), (0, 1), (0, 1)), "edge"), 2)
+        # Official subsampling: zero-pad odd extents, 2x2 stride-2 mean
+        # (MATLAB HaarPSISubsample / piq: F.pad + avg_pool2d).
+        ph, pw = x.shape[-2] % 2, x.shape[-1] % 2
+        pad = ((0, 0), (0, 0), (0, ph), (0, pw))
+        x = _avg_pool(jnp.pad(x, pad), 2)
+        y = _avg_pool(jnp.pad(y, pad), 2)
 
     coeffs_x = []  # per scale: (B, 2, H, W) |responses| for (horiz, vert)
     coeffs_y = []
