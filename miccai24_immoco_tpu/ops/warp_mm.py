@@ -173,15 +173,20 @@ def bilinear_sample_mm(
         return out
 
     def _sample(ay, ax, planes_block):
-        # rows[p, x, c] = sum_y ay[p, y] * planes_block[y, x, c]
+        # rows[p, x, c] = sum_y ay[p, y] * planes_block[y, x, c].
+        # The (N, W, C) rows intermediate is the step's dominant HBM
+        # traffic; emit it directly in compute_dtype (the einsum consumes
+        # it in compute_dtype anyway — fp32-out + cast would double the
+        # bytes for identical downstream math; MXU accumulation is fp32
+        # internally either way).
         rows = jax.lax.dot_general(
             ay,
             planes_block,
             dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # (N, W, C) fp32
+            preferred_element_type=compute_dtype,
+        )  # (N, W, C) compute_dtype
         return jnp.einsum(
-            "nwc,nw->nc", rows.astype(compute_dtype), ax,
+            "nwc,nw->nc", rows, ax,
             preferred_element_type=jnp.float32,
         )
 

@@ -1,15 +1,19 @@
 """Per-component timing ablation of the IM-MoCo fit step on TPU.
 
-Measures steady-state time of a 20-iteration compiled segment for variants
-with individual components stubbed out, to locate the hot spot:
+Measures steady-state time of a 20-iteration compiled segment (vmapped over
+ABL_BATCH slices, matmul warp, the bench configuration) with individual
+components stubbed out, to locate the hot spot:
 
-  full          — the real fit step
-  no_warp       — grid_sample replaced by broadcast (keeps INRs, FFTs)
-  no_motion_inr — motion INR replaced by zero displacement (keeps warp)
-  no_ge         — gradient-entropy prior removed
-  no_fft        — FFTs replaced by identity
-  image_only    — image INR DC-only step
-  dispatch      — trivial jitted fn (host/tunnel overhead floor)
+  full           — the real fit step (bench config)
+  no_warp        — warp replaced by broadcast (keeps INRs, FFTs, masks)
+  no_motion_inr  — motion INR replaced by zero displacement (keeps warp)
+  no_image_inr   — image INR replaced by a direct (H, W, 2) parameter image
+  no_ge          — gradient-entropy prior removed
+  no_fft         — FFTs replaced by identity
+  fwd_only       — forward pass only (no grad/Adam), full model
+  dispatch       — trivial jitted fn (host/tunnel overhead floor)
+
+Env knobs: ABL_M (12), ABL_BATCH (4), ABL_SEG (20), ABL_VARIANTS.
 
 Usage: python scripts/ablate_timing.py [variant ...]
 """
@@ -38,19 +42,21 @@ from miccai24_immoco_tpu.config import (
 from miccai24_immoco_tpu.models.immoco import build_immoco
 from miccai24_immoco_tpu.ops.fft import fft2c
 from miccai24_immoco_tpu.ops.losses import gradient_entropy, real_pair_mse
-from miccai24_immoco_tpu.ops.warp import grid_sample
+from miccai24_immoco_tpu.ops.warp_mm import bilinear_sample_mm
 
-SEG = 20
+SEG = int(os.environ.get("ABL_SEG", "20"))
 H = W = 320
-M = 24
+M = int(os.environ.get("ABL_M", "12"))
+B = int(os.environ.get("ABL_BATCH", "4"))
 
 
-def build(img_enc="lattice", mot_enc="lattice"):
+def build():
     cfg = InstanceFitConfig(
         iters=SEG,
         max_movements=M,
-        image_inr=ImageINRConfig(encoding=img_enc),
-        motion_inr=MotionINRConfig(encoding=mot_enc),
+        image_inr=ImageINRConfig(encoding="lattice"),
+        motion_inr=MotionINRConfig(encoding="lattice"),
+        motion_disp_px=30,
     )
     return build_immoco(cfg, H, W)
 
@@ -60,15 +66,19 @@ def make_segment(model, variant):
     opt = optax.adam(cfg.learning_rate)
 
     def forward(p, masks, statics):
-        pair = model.image_inr.apply(p["image"], statics["image"])
-        image = jax.lax.complex(pair[..., 0], pair[..., 1])
-        if variant == "image_only":
-            return fft2c(image), image
+        if variant == "no_image_inr":
+            image = jax.lax.complex(p["_img"][..., 0], p["_img"][..., 1])
+        else:
+            image = model.predict_image(p, statics)
 
         if variant == "no_motion_inr":
             disp = jnp.zeros((M, H, W, 2), jnp.float32)
         else:
             disp = jnp.tanh(model.motion_inr.apply(p["motion"], statics["motion"]))
+            scale = jnp.asarray(
+                [2.0 * 30 / W, 2.0 * 30 / H], jnp.float32
+            )
+            disp = disp * scale
         grids = disp + statics["id_grid"][None]
 
         if variant == "no_warp":
@@ -76,13 +86,9 @@ def make_segment(model, variant):
                 1.0 + 0.0 * grids[..., 0]
             )
         else:
-            motion_images = grid_sample(
-                jnp.broadcast_to(image[None, None], (M, 1, H, W)),
-                grids,
-                mode="bilinear",
-                padding_mode="zeros",
-                align_corners=False,
-            )[:, 0]
+            motion_images = bilinear_sample_mm(
+                image, grids, align_corners=False
+            )
 
         if variant == "no_fft":
             dc = image * (1.0 - masks.sum(0))
@@ -92,41 +98,57 @@ def make_segment(model, variant):
             mov = (fft2c(motion_images) * masks).sum(0)
         return dc + mov, image
 
+    def add_extra_params(params):
+        if variant == "no_image_inr":
+            params = dict(params)
+            params["_img"] = jnp.zeros((H, W, 2), jnp.float32)
+        return params
+
     @jax.jit
     def segment(params, opt_state, k_in, masks, statics):
-        def loss_fn(p):
-            k_out, image = forward(p, masks, statics)
-            loss = real_pair_mse(k_out, k_in)
-            if variant != "no_ge":
-                loss = loss + 1e-2 * gradient_entropy(image)
-            return loss
+        def one_slice(params, opt_state, k_in, masks):
+            def loss_fn(p):
+                k_out, image = forward(p, masks, statics)
+                loss = real_pair_mse(k_out, k_in)
+                if variant != "no_ge":
+                    loss = loss + 1e-2 * gradient_entropy(image)
+                return loss
 
-        def step(carry, _):
-            p, s = carry
-            loss, g = jax.value_and_grad(loss_fn)(p)
-            u, s = opt.update(g, s)
-            return (optax.apply_updates(p, u), s), loss
+            def step(carry, _):
+                p, s = carry
+                if variant == "fwd_only":
+                    loss = loss_fn(p)
+                    # keep a param-dependent carry so the loop can't fold
+                    p = jax.tree.map(lambda a: a * 1.0, p)
+                    return (p, s), loss
+                loss, g = jax.value_and_grad(loss_fn)(p)
+                u, s = opt.update(g, s)
+                return (optax.apply_updates(p, u), s), loss
 
-        (params, opt_state), losses = jax.lax.scan(
-            step, (params, opt_state), None, length=SEG
-        )
-        return params, opt_state, losses
+            (p, s), losses = jax.lax.scan(
+                step, (params, opt_state), None, length=SEG
+            )
+            return losses
 
-    return segment, opt
+        return jax.vmap(
+            lambda pr, st, k, ms: one_slice(pr, st, k, ms),
+            in_axes=(0, 0, 0, 0),
+        )(params, opt_state, k_in, masks)
+
+    return segment, opt, add_extra_params
 
 
 def main():
-    variants = sys.argv[1:] or [
-        "dispatch", "full", "no_warp", "no_motion_inr", "no_ge", "no_fft",
-        "image_only",
-    ]
+    variants = sys.argv[1:] or os.environ.get(
+        "ABL_VARIANTS",
+        "dispatch,full,fwd_only,no_warp,no_motion_inr,no_image_inr,no_ge,no_fft",
+    ).split(",")
     model = build()
-    params = model.init(jax.random.PRNGKey(0))
-    opt0 = optax.adam(1e-2)
-    masks = jnp.zeros((M, H, W), jnp.float32).at[0, :, 100:110].set(1.0)
-    # Complex arrays must be produced BY a jitted computation on this
-    # runtime (eager/host complex buffers poison the process).
-    k_in = jax.jit(lambda: jnp.full((H, W), 1.0 + 0.0j, jnp.complex64))()
+    base_params = model.init(jax.random.PRNGKey(0))
+    masks = jnp.zeros((B, M, H, W), jnp.float32).at[:, 0, :, 100:110].set(1.0)
+    k_in = jax.jit(
+        lambda: jnp.full((B, H, W), 1.0 + 0.0j, jnp.complex64)
+    )()
 
     for variant in variants:
         try:
@@ -141,26 +163,27 @@ def main():
                     f"dispatch+readback: {(time.perf_counter()-t0)/10*1000:.1f}"
                     " ms/call", flush=True)
                 continue
-            segment, opt = make_segment(model, variant)
-            state = opt.init(params)
+            segment, opt, add_extra = make_segment(model, variant)
+            params = add_extra(base_params)
+            params_b = jax.tree.map(
+                lambda a: jnp.broadcast_to(a[None], (B, *a.shape)), params
+            )
+            state_b = jax.vmap(opt.init)(params_b)
             t0 = time.perf_counter()
-            p, s, l = segment(params, state, k_in, masks, model.statics)
-            # Force execution: a tiny jitted reduction + scalar read (plain
-            # d2h of some buffers is unimplemented on this runtime, and
-            # block_until_ready does not synchronize).
+            l = segment(params_b, state_b, k_in, masks, model.statics)
             _ = float(jax.jit(jnp.sum)(l))
             t_compile = time.perf_counter() - t0
             t0 = time.perf_counter()
-            p, s, l = segment(params, state, k_in, masks, model.statics)
+            l = segment(params_b, state_b, k_in, masks, model.statics)
             _ = float(jax.jit(jnp.sum)(l))
             t_run = time.perf_counter() - t0
             print(
-                f"{variant}: {t_run:.3f} s/segment ({t_run/SEG*1000:.1f} ms/iter)"
-                f" [first {t_compile:.1f}s]",
+                f"{variant}: {t_run:.3f} s/segment ({t_run/SEG*1000:.1f} ms/iter"
+                f" batch {B}) [first {t_compile:.1f}s]",
                 flush=True,
             )
         except Exception as e:
-            print(f"{variant}: FAILED {type(e).__name__} {str(e)[:90]}",
+            print(f"{variant}: FAILED {type(e).__name__} {str(e)[:120]}",
                   flush=True)
 
 
