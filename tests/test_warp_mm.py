@@ -248,3 +248,23 @@ def test_tiled2d_gradients(rng):
     gg_d = jax.grad(lambda gr: loss(img, gr, 0))(grids)
     np.testing.assert_allclose(np.asarray(gg_t), np.asarray(gg_d),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_custom_vjp_matches_autodiff_path(rng):
+    """The hand-written matmul backward must equal XLA autodiff of the
+    one-hot formulation for both image and grid gradients."""
+    img, grids = _setup(rng, h=20, w=24, m=3)
+
+    def loss(im, gr, use):
+        out = bilinear_sample_mm(im, gr, compute_dtype=jnp.float32,
+                                 use_custom_vjp=use)
+        return jnp.sum(jnp.abs(out) ** 2)
+
+    gc_im, gc_gr = jax.grad(lambda im, gr: loss(im, gr, True),
+                            argnums=(0, 1))(img, grids)
+    ga_im, ga_gr = jax.grad(lambda im, gr: loss(im, gr, False),
+                            argnums=(0, 1))(img, grids)
+    np.testing.assert_allclose(np.asarray(gc_im), np.asarray(ga_im),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(gc_gr), np.asarray(ga_gr),
+                               rtol=1e-5, atol=1e-6)
