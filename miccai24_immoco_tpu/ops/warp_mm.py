@@ -226,6 +226,7 @@ def bilinear_sample_mm(
     tile_px: int = 0,
     padding_mode: str = "zeros",
     use_custom_vjp: bool = False,
+    unroll: bool = False,
 ) -> jnp.ndarray:
     """Warp one (H, W) complex/real image by (M, Ho, Wo, 2) sampling grids.
 
@@ -401,6 +402,10 @@ def bilinear_sample_mm(
         out = jax.lax.map(warp_one_tiled, grids)
     elif use_custom_vjp and band_px == 0:
         out = jax.lax.map(warp_one_cvjp, grids)
+    elif unroll and band_px == 0:
+        # Unrolled movement loop: lets XLA schedule/fuse across movements
+        # instead of a sequential inner while with loop-carried stacking.
+        out = jnp.stack([warp_one(grids[i]) for i in range(m)])
     elif band_px > 0:
         if ho % band_px:
             raise ValueError(f"Ho={ho} not divisible by band_px={band_px}")
