@@ -227,6 +227,7 @@ def bilinear_sample_mm(
     padding_mode: str = "zeros",
     use_custom_vjp: bool = False,
     unroll: bool = False,
+    band_dynamic: bool = False,
 ) -> jnp.ndarray:
     """Warp one (H, W) complex/real image by (M, Ho, Wo, 2) sampling grids.
 
@@ -329,6 +330,39 @@ def bilinear_sample_mm(
         return jax.vmap(block)(jnp.arange(n_blocks)).reshape(ho, wo, -1)
 
     @jax.checkpoint
+    def warp_one_band_static(grid):  # (Ho, Wo, 2), static row-band windows
+        """1-D row banding with STATIC (Python-int) window starts: row
+        blocks are contiguous (no transposes), windows are static slices
+        (backward = sum of pads, no scatter), and all blocks evaluate as a
+        single batched matmul with K = 3*band instead of H."""
+        b = band_px
+        nb = ho // b
+        win = 3 * b
+        n = b * wo
+        c = planes_c.shape[-1]
+        sys_ = [min(max(i * b - b, 0), h - win) for i in range(nb)]
+        windows = jnp.stack(
+            [planes_c[sy : sy + win].reshape(win, w * c) for sy in sys_]
+        )  # (nb, win, W*C)
+        gt = grid.reshape(nb, n, 2)
+        gx = unnormalize(gt[..., 0], w)  # (nb, n)
+        gy = unnormalize(gt[..., 1], h) - jnp.asarray(
+            sys_, jnp.float32
+        )[:, None]
+        ay = _one_hot_lerp_batched(gy, win, compute_dtype)  # (nb, n, win)
+        ax = _one_hot_lerp_batched(gx, w, compute_dtype)  # (nb, n, W)
+        rows = jax.lax.dot_general(
+            ay,
+            windows,
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=compute_dtype,
+        ).reshape(nb, n, w, c)
+        out = jnp.einsum(
+            "bnwc,bnw->bnc", rows, ax, preferred_element_type=jnp.float32
+        )
+        return out.reshape(ho, wo, c)
+
+    @jax.checkpoint
     def warp_one_tiled(grid):  # (Ho, Wo, 2) with 2-D block-local one-hots
         b = tile_px
         ny, nx = ho // b, wo // b
@@ -409,7 +443,11 @@ def bilinear_sample_mm(
     elif band_px > 0:
         if ho % band_px:
             raise ValueError(f"Ho={ho} not divisible by band_px={band_px}")
-        out = jax.lax.map(warp_one_banded, grids)
+        if h < 3 * band_px:
+            raise ValueError(f"image smaller than 3*band_px={3*band_px}")
+        out = jax.lax.map(
+            warp_one_banded if band_dynamic else warp_one_band_static, grids
+        )
     else:
         out = jax.lax.map(warp_one, grids)  # (M, Ho, Wo, C)
     if jnp.iscomplexobj(image):

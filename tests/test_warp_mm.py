@@ -268,3 +268,35 @@ def test_custom_vjp_matches_autodiff_path(rng):
                                rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(np.asarray(gc_gr), np.asarray(ga_gr),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_band_static_matches_dense_and_dynamic(rng):
+    h = w = 64
+    img = (rng.standard_normal((h, w)) + 1j * rng.standard_normal((h, w))).astype(
+        np.complex64
+    )
+    disp = 10.0 / (w / 2.0) * jnp.tanh(
+        jnp.asarray(rng.standard_normal((2, h, w, 2)).astype(np.float32))
+    )
+    idg = identity_grid((h, w), align_corners=True)
+    grids = disp + idg[None]
+    dense = bilinear_sample_mm(jnp.asarray(img), grids,
+                               compute_dtype=jnp.float32)
+    static = bilinear_sample_mm(jnp.asarray(img), grids,
+                                compute_dtype=jnp.float32, band_px=16)
+    dynamic = bilinear_sample_mm(jnp.asarray(img), grids,
+                                 compute_dtype=jnp.float32, band_px=16,
+                                 band_dynamic=True)
+    np.testing.assert_allclose(np.asarray(static), np.asarray(dense),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(static), np.asarray(dynamic),
+                               rtol=1e-5, atol=1e-6)
+
+    def loss(im, band):
+        return jnp.sum(jnp.abs(bilinear_sample_mm(
+            im, grids, compute_dtype=jnp.float32, band_px=band)) ** 2)
+
+    g_s = jax.grad(lambda im: loss(im, 16))(jnp.asarray(img))
+    g_d = jax.grad(lambda im: loss(im, 0))(jnp.asarray(img))
+    np.testing.assert_allclose(np.asarray(g_s), np.asarray(g_d),
+                               rtol=1e-4, atol=1e-5)
