@@ -150,11 +150,13 @@ def cmd_train_denoiser(args):
 
 
 def _load_kld(args):
-    if not args.kld_ckpt:
-        return None
     from miccai24_immoco_tpu import weights
     from miccai24_immoco_tpu.models.unet import build_kld_net
 
+    if not args.kld_ckpt:
+        # Default to the best registered detector (oracle masks if none).
+        name = weights.best_kld_name()
+        return weights.load_kld(name) if weights.available(name) else None
     try:
         return weights.load_kld(args.kld_ckpt)
     except KeyError:

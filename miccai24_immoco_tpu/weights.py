@@ -8,8 +8,10 @@ under symbolic names; ``load(name)`` returns (params, metadata).
 Registered artifacts shipped with the repo:
 
 - ``kld_synthetic``: klD-Net line detector trained on synthetic phantoms
-  (320^2, on-the-fly motion simulation) — a functional stand-in until a
-  fastMRI-trained detector is produced with the same recipe.
+  (320^2, on-the-fly motion simulation, 300 steps) — the round-1 stand-in.
+- ``kld_full``: klD-Net trained with the FULL reference recipe (4200 steps,
+  seed 128, AdamW 1e-4 + cosine warm restarts, dice-gated best checkpoint
+  — train_kld_net.py:22-32) on the 200-phantom synthetic corpus.
 """
 
 from __future__ import annotations
@@ -23,7 +25,13 @@ _ROOT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 REGISTRY: Dict[str, str] = {
     "kld_synthetic": os.path.join(_ROOT, "artifacts", "kld_synthetic"),
+    "kld_full": os.path.join(_ROOT, "artifacts", "kld_full"),
 }
+
+
+def best_kld_name() -> str:
+    """Preferred detector checkpoint: the full-recipe one when present."""
+    return "kld_full" if available("kld_full") else "kld_synthetic"
 
 
 def path_of(name: str) -> str:

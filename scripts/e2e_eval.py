@@ -58,8 +58,9 @@ def corruption_metrics(corpus, n):
 def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 4
     scenarios = (sys.argv[2] if len(sys.argv) > 2 else "light,heavy").split(",")
-    kld = weights.load_kld() if weights.available("kld_synthetic") else None
-    print("detector:", "klD-Net (synthetic ckpt)" if kld else "oracle masks",
+    kld_name = weights.best_kld_name()
+    kld = weights.load_kld(kld_name) if weights.available(kld_name) else None
+    print("detector:", f"klD-Net ({kld_name})" if kld else "oracle masks",
           flush=True)
 
     per_scenario = {}
