@@ -106,8 +106,7 @@ def make_denoiser_trainer(
         )["params"]
         return params, opt.init(params)
 
-    @jax.jit
-    def train_step(params, opt_state, key, kspace_clean):
+    def _train_step(params, opt_state, key, kspace_clean):
         sample = simulate_motion_batch(key, ifft2c(kspace_clean), cfg=sim_cfg)
         x, scale = denoise_input(sample.kspace)
         target = jnp.abs(ifft2c(kspace_clean)) / scale
@@ -120,8 +119,7 @@ def make_denoiser_trainer(
         updates, opt_state = opt.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state, loss
 
-    @jax.jit
-    def eval_step(params, key, kspace_clean):
+    def _eval_step(params, key, kspace_clean):
         sample = simulate_motion_batch(key, ifft2c(kspace_clean), cfg=sim_cfg)
         x, scale = denoise_input(sample.kspace)
         target = jnp.abs(ifft2c(kspace_clean)) / scale
@@ -138,7 +136,59 @@ def make_denoiser_trainer(
             "ssim_gain": jnp.abs(s_fit - s_corrupt),
         }
 
-    return init_fn, train_step, eval_step
+    train_step = jax.jit(_train_step)
+    eval_step = jax.jit(_eval_step)
+
+    import functools
+
+    @functools.partial(jax.jit, static_argnames=("seg_len",))
+    def segment_fn(
+        params, opt_state, key, kspace_train, kspace_val,
+        best_gain, best_params, seg_len,
+    ):
+        """seg_len train+eval steps in ONE compiled program with in-graph
+        ssim-gain-gated best-params tracking (same RNG stream and batch
+        sampling as the per-step loop; avoids per-step host round trips on
+        tunneled runtimes)."""
+        n_train = kspace_train.shape[0]
+        n_val = kspace_val.shape[0]
+
+        def step(carry, _):
+            params, opt_state, key, best_gain, best_params = carry
+            key, bk, sk, vk, vs = jax.random.split(key, 5)
+            idx = jax.random.choice(
+                bk, n_train, (min(cfg.batch_size, n_train),), replace=False
+            )
+            params, opt_state, loss = _train_step(
+                params, opt_state, sk, jnp.take(kspace_train, idx, axis=0)
+            )
+            vidx = jax.random.choice(
+                vk, n_val, (min(cfg.batch_size, n_val),), replace=False
+            )
+            stats = _eval_step(
+                params, vs, jnp.take(kspace_val, vidx, axis=0)
+            )
+            better = stats["ssim_gain"] >= best_gain
+            best_gain = jnp.where(better, stats["ssim_gain"], best_gain)
+            best_params = jax.tree.map(
+                lambda b, p: jnp.where(better, p, b), best_params, params
+            )
+            return (
+                (params, opt_state, key, best_gain, best_params),
+                (loss, stats),
+            )
+
+        (params, opt_state, key, best_gain, best_params), (losses, stats) = (
+            jax.lax.scan(
+                step,
+                (params, opt_state, key, best_gain, best_params),
+                None,
+                length=seg_len,
+            )
+        )
+        return params, opt_state, key, best_gain, best_params, losses, stats
+
+    return init_fn, train_step, eval_step, segment_fn
 
 
 def denoise(net: Unet, params, kspace: jnp.ndarray) -> jnp.ndarray:
@@ -162,29 +212,27 @@ def train_denoiser(
     net = build_unet(UnetConfig(in_chans=1, out_chans=1, chans=32,
                                 num_pool_layers=6, norm="instance"))
     h, w = kspace_train.shape[-2:]
-    init_fn, train_step, eval_step = make_denoiser_trainer(
+    init_fn, _, _, segment_fn = make_denoiser_trainer(
         net, cfg, sim_cfg, (h, w)
     )
     key = jax.random.PRNGKey(cfg.seed)
     key, ik = jax.random.split(key)
     params, opt_state = init_fn(ik)
 
-    best = None
-    best_gain = cfg.ssim_diff_gate / 100.0
-    n_train, n_val = kspace_train.shape[0], kspace_val.shape[0]
-    for i in range(steps):
-        key, bk, sk, vk, vs = jax.random.split(key, 5)
-        idx = jax.random.choice(bk, n_train, (min(cfg.batch_size, n_train),),
-                                replace=False)
-        params, opt_state, loss = train_step(params, opt_state, sk,
-                                             kspace_train[idx])
-        vidx = jax.random.choice(vk, n_val, (min(cfg.batch_size, n_val),),
-                                 replace=False)
-        stats = eval_step(params, vs, kspace_val[vidx])
-        if float(stats["ssim_gain"]) >= best_gain:
-            best_gain = float(stats["ssim_gain"])
-            best = jax.tree.map(lambda a: a.copy(), params)
-        if i % log_every == 0:
-            log_fn(i, {"loss_train": float(loss),
-                       **{k: float(v) for k, v in stats.items()}})
+    gate = cfg.ssim_diff_gate / 100.0
+    best_gain = jnp.asarray(gate, jnp.float32)
+    best_params = params
+    done = 0
+    while done < steps:
+        seg = min(log_every, steps - done)
+        (params, opt_state, key, best_gain, best_params, losses, stats) = (
+            segment_fn(
+                params, opt_state, key, kspace_train, kspace_val,
+                best_gain, best_params, seg_len=seg,
+            )
+        )
+        done += seg
+        log_fn(done - 1, {"loss_train": float(losses[-1]),
+                          **{k: float(v[-1]) for k, v in stats.items()}})
+    best = best_params if float(best_gain) > gate else None
     return net, params, best

@@ -34,7 +34,7 @@ def test_denoiser_train_step_reduces_loss():
     net = build_unet(UnetConfig(in_chans=1, out_chans=1, chans=8,
                                 num_pool_layers=3, norm="instance"))
     cfg = DenoiserTrainConfig(steps=25, batch_size=2, learning_rate=1e-3)
-    init_fn, train_step, eval_step = make_denoiser_trainer(
+    init_fn, train_step, eval_step, _ = make_denoiser_trainer(
         net, cfg, image_shape=(48, 48)
     )
     params, opt_state = init_fn(jax.random.PRNGKey(0))
