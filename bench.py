@@ -57,9 +57,11 @@ def main():
     iters = int(os.environ.get("BENCH_ITERS", "200"))
     size = int(os.environ.get("BENCH_SIZE", "320"))
     enc = os.environ.get("BENCH_ENCODING", "lattice")
-    max_mov = int(os.environ.get("BENCH_MAXMOV", "12"))
-    # light protocol: 8 movements; 12 covers every light slice (6-9 groups
-    # plus detector over-segmentation headroom). Heavy runs use 24.
+    max_mov = int(os.environ.get("BENCH_MAXMOV", "10"))
+    # light protocol: 8 movements; 10 covers every light slice (6-9 groups
+    # plus headroom — the full-recipe detector segments at dice 0.9996, so
+    # over-segmentation is rare; warp cost scales linearly in max_mov).
+    # Heavy runs use 24.
 
     # Banding measured slightly slower than dense one-hots at 320^2 (the
     # K=96 blocks underutilize the MXU); the displacement cap alone improves
