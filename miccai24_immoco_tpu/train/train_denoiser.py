@@ -42,6 +42,10 @@ class DenoiserTrainConfig:
     learning_rate: float = 3e-4
     seed: int = 128
     ssim_diff_gate: float = 10.0  # best_ssim_diff init (reference :78)
+    # torch CosineAnnealingLR(T_max=200 "epochs") stepped per BATCH
+    # (train_unet_denoiser.py:48,143): the lr oscillates with period 400
+    # steps over the whole run — replicated (utils/schedules.cosine_annealing).
+    anneal_t_max: int = 200
 
 
 def _minmax(x):
@@ -96,8 +100,10 @@ def make_denoiser_trainer(
     sim_cfg: MotionSimConfig = MotionSimConfig(),
     image_shape: Tuple[int, int] = (320, 320),
 ):
+    from miccai24_immoco_tpu.utils.schedules import cosine_annealing
+
     h, w = image_shape
-    schedule = optax.cosine_decay_schedule(cfg.learning_rate, cfg.steps)
+    schedule = cosine_annealing(cfg.learning_rate, cfg.anneal_t_max)
     opt = optax.adamw(schedule)
 
     def init_fn(key):
@@ -128,8 +134,13 @@ def make_denoiser_trainer(
         def nm(v):
             return _minmax(v)[:, None]
 
-        s_fit = ssim_metric(nm(out), nm(target))
-        s_corrupt = ssim_metric(nm(x[..., 0]), nm(target))
+        # Validation metric parity: the reference logs/gates on REAL ssim
+        # (normalize_image + data_range=1.0, train_unet_denoiser.py:183-187,
+        # 197-206), not the data_range=255 variant its LOSS uses.
+        from miccai24_immoco_tpu.ops.metrics import ssim as _ssim_1
+
+        s_fit = _ssim_1(nm(out), nm(target), 1.0)
+        s_corrupt = _ssim_1(nm(x[..., 0]), nm(target), 1.0)
         return {
             "loss": denoiser_loss(out, target),
             "ssim": s_fit,

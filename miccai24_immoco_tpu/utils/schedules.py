@@ -44,3 +44,20 @@ def cosine_warm_restarts(
         )
 
     return schedule
+
+
+def cosine_annealing(base_lr: float, t_max: int, eta_min: float = 0.0):
+    """torch CosineAnnealingLR semantics, INCLUDING its periodic behavior
+    past t_max: lr(t) = eta_min + (base_lr - eta_min)(1 + cos(pi t/T)) / 2
+    for all t.  The reference denoiser constructs it with T_max = 200
+    epochs but steps it EVERY BATCH (train_unet_denoiser.py:48,143), so
+    over a 200x200-step run the lr oscillates base->0->base with period
+    2*T_max — replicated verbatim (it shapes what the denoiser learns)."""
+
+    def schedule(step):
+        t = jnp.asarray(step).astype(jnp.float32)
+        return eta_min + (base_lr - eta_min) * 0.5 * (
+            1.0 + jnp.cos(jnp.pi * t / t_max)
+        )
+
+    return schedule

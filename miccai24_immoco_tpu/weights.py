@@ -26,6 +26,10 @@ _ROOT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 REGISTRY: Dict[str, str] = {
     "kld_synthetic": os.path.join(_ROOT, "artifacts", "kld_synthetic"),
     "kld_full": os.path.join(_ROOT, "artifacts", "kld_full"),
+    # Trained in-place on the build machine (440 MB — not committed; rerun
+    # `cli train-denoiser --synthetic 200 --size 320 --steps 10000` to
+    # reproduce: 10k single-sample steps of the reference recipe).
+    "denoiser_full": os.path.join(_ROOT, "artifacts", "denoiser_full"),
 }
 
 

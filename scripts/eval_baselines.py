@@ -40,9 +40,12 @@ from miccai24_immoco_tpu.eval.runners import (
 def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     scenario = sys.argv[2] if len(sys.argv) > 2 else "light"
-    den_ckpt = sys.argv[3] if len(sys.argv) > 3 else None
+    den_ckpt = sys.argv[3] if len(sys.argv) > 3 else (
+        weights.path_of("denoiser_full")
+        if weights.available("denoiser_full") else None)
     corpus = _synthetic_corpus(n, 320, scenario, seed=2024)
-    kld = weights.load_kld() if weights.available("kld_synthetic") else None
+    kld_name = weights.best_kld_name()
+    kld = weights.load_kld(kld_name) if weights.available(kld_name) else None
     max_mov = 12 if scenario == "light" else 24
 
     results = {}
