@@ -120,3 +120,23 @@ def test_kld_training_resume(tmp_path):
         resume_params=restore(p),
     )
     assert resumed.step == 2
+
+
+def test_cosine_annealing_matches_torch_per_batch_stepping():
+    """cosine_annealing must reproduce torch CosineAnnealingLR stepped per
+    batch — INCLUDING its periodic climb past T_max (the reference denoiser
+    recipe, train_unet_denoiser.py:48,143)."""
+    import torch
+
+    from miccai24_immoco_tpu.utils.schedules import cosine_annealing
+
+    t_max, base = 7, 3e-4
+    opt = torch.optim.AdamW([torch.nn.Parameter(torch.zeros(1))], lr=base)
+    tsched = torch.optim.lr_scheduler.CosineAnnealingLR(opt, T_max=t_max)
+    ours = cosine_annealing(base, t_max)
+    for step in range(30):
+        want = opt.param_groups[0]["lr"]
+        got = float(ours(step))
+        assert got == pytest.approx(want, rel=1e-4, abs=1e-10), (step, got, want)
+        opt.step()
+        tsched.step()
