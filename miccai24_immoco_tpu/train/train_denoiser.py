@@ -137,10 +137,8 @@ def make_denoiser_trainer(
         # Validation metric parity: the reference logs/gates on REAL ssim
         # (normalize_image + data_range=1.0, train_unet_denoiser.py:183-187,
         # 197-206), not the data_range=255 variant its LOSS uses.
-        from miccai24_immoco_tpu.ops.metrics import ssim as _ssim_1
-
-        s_fit = _ssim_1(nm(out), nm(target), 1.0)
-        s_corrupt = _ssim_1(nm(x[..., 0]), nm(target), 1.0)
+        s_fit = ssim_metric(nm(out), nm(target), 1.0)
+        s_corrupt = ssim_metric(nm(x[..., 0]), nm(target), 1.0)
         return {
             "loss": denoiser_loss(out, target),
             "ssim": s_fit,

@@ -300,3 +300,12 @@ def test_band_static_matches_dense_and_dynamic(rng):
     g_d = jax.grad(lambda im: loss(im, 0))(jnp.asarray(img))
     np.testing.assert_allclose(np.asarray(g_s), np.asarray(g_d),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_unrolled_matches_map(rng):
+    img, grids = _setup(rng, h=20, w=24, m=3)
+    a = bilinear_sample_mm(img, grids, compute_dtype=jnp.float32)
+    b = bilinear_sample_mm(img, grids, compute_dtype=jnp.float32,
+                           unroll=True)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=1e-6, atol=1e-7)
