@@ -119,6 +119,21 @@ def _train_kspace_stacks(args):
     return ksp[:-n_val], ksp[-n_val:]
 
 
+def _make_log_fn(project: str, group: str, config: dict):
+    """Reference C26 parity: every train script logs per-step scalars to an
+    experiment tracker (wandb in the reference, train_kld_net.py:17,106-120;
+    JSONL backend here, wandb if importable) AND prints."""
+    from miccai24_immoco_tpu.utils.tracking import Tracker
+
+    tracker = Tracker(project=project, group=group, config=config)
+
+    def log_fn(i, stats):
+        tracker.log({"step": i, **stats})
+        print(i, json.dumps(stats), flush=True)
+
+    return log_fn
+
+
 def cmd_train_kld(args):
     from miccai24_immoco_tpu.config import KLDTrainConfig
     from miccai24_immoco_tpu.train.train_kld import train_kld_net
@@ -128,7 +143,9 @@ def cmd_train_kld(args):
     resume = _load_ckpt(args.resume) if args.resume else None
     state = train_kld_net(
         train, val, cfg=cfg, steps=args.steps, resume_params=resume,
-        log_fn=lambda i, s: print(i, json.dumps(s)),
+        log_fn=_make_log_fn(
+            "MICCAI24_MoCo", "KLineDetect", {"steps": args.steps}
+        ),
     )
     _save_ckpt(args.out, state.best_params or state.params)
     print(f"saved {args.out} (best dice {state.best_dice:.4f})")
@@ -143,7 +160,9 @@ def cmd_train_denoiser(args):
     train, val = _train_kspace_stacks(args)
     net, params, best = train_denoiser(
         train, val, DenoiserTrainConfig(steps=args.steps), steps=args.steps,
-        log_fn=lambda i, s: print(i, json.dumps(s)),
+        log_fn=_make_log_fn(
+            "MICCAI_MoCo", "denoising", {"steps": args.steps}
+        ),
     )
     _save_ckpt(args.out, best if best is not None else params)
     print(f"saved {args.out}")
