@@ -153,9 +153,10 @@ class InstanceFitConfig:
     # Exactness requires motion_disp_px <= warp_tile_px - 2.
     warp_tile_px: int = 0
     # k-space operator in the forward model: "fft" uses XLA's TPU FFT;
-    # "dft_mm" evaluates the centered DFT as dense MXU matmuls (ops/dft.py)
-    # — measured faster per fit iteration (XLA's TPU FFT lowering is slow)
-    # and matmul-only in the backward too; agrees with the FFT to ~1e-4.
+    # "dft_mm" evaluates the centered DFT as dense MXU matmuls (ops/dft.py),
+    # matmul-only in the backward too; agrees with the FFT to ~1e-4.
+    # Measured neutral on the target TPU (the FFTs are not the bottleneck);
+    # kept for toolchains with slow FFT lowerings.
     kspace_op: str = "fft"
 
 
@@ -228,6 +229,9 @@ class AFPlusConfig:
     grad_scale: float = 1e-4
     center_fraction: float = 0.08
     nufft_oversamp: int = 5
+    # KB gridding backend: "matmul" = one dense MXU matmul (ops/nufft.py),
+    # "scatter" = tap-loop scatter-add (identical results; CPU-friendly).
+    nufft_mode: str = "matmul"
 
 
 @dataclasses.dataclass(frozen=True)

@@ -37,9 +37,14 @@ class AFPlusResult(NamedTuple):
     losses: jnp.ndarray  # (iters,)
 
 
-def rotate_kspace(ks: jnp.ndarray, rot_vector: jnp.ndarray, oversamp: int = 5):
+def rotate_kspace(ks: jnp.ndarray, rot_vector: jnp.ndarray, oversamp: int = 5,
+                  nufft_mode: str = "matmul"):
     """R_differentiable (af_plus.py:21-32): per-row rotation of k-space
-    sample coordinates, regridded via NUFFT adjoint, re-FFT'd."""
+    sample coordinates, regridded via NUFFT adjoint, re-FFT'd.
+
+    nufft_mode="matmul" runs the KB gridding as one dense MXU matmul (see
+    ops/nufft.py) — scatter-adds are catastrophically slow on the target
+    TPU; "scatter" keeps the tap-loop path (identical results, tested)."""
     h, w = ks.shape
     ys = jnp.arange(-(h // 2), h - h // 2, dtype=jnp.float32)
     xs = jnp.arange(-(w // 2), w - w // 2, dtype=jnp.float32)
@@ -49,7 +54,8 @@ def rotate_kspace(ks: jnp.ndarray, rot_vector: jnp.ndarray, oversamp: int = 5):
     ry = cos[:, None] * gy - sin[:, None] * gx
     rx = sin[:, None] * gy + cos[:, None] * gx
     coord = jnp.stack([ry.reshape(-1), rx.reshape(-1)], axis=-1)  # (N, 2)
-    img = nufft_adjoint(ks.reshape(-1), coord, (h, w), oversamp=oversamp)
+    img = nufft_adjoint(ks.reshape(-1), coord, (h, w), oversamp=oversamp,
+                        mode=nufft_mode)
     return fft2c(img)
 
 
@@ -80,7 +86,8 @@ def make_afplus_fit(
                 lin[:, None] * xs[None, :] + (ys * lin)[None, :]
             )
             new_k = mag * jnp.exp(1j * (ang + phase))
-            return rotate_kspace(new_k, rot, cfg.nufft_oversamp)
+            return rotate_kspace(new_k, rot, cfg.nufft_oversamp,
+                                 cfg.nufft_mode)
 
         def loss_fn(xs, ys, rot):
             yp_ks = transform(xs, ys, rot)

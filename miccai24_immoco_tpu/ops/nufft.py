@@ -22,6 +22,17 @@ mathematically correct adjoint, which is also what XLA lowers efficiently.
 
 All functions are jit/vmap/grad-safe; the tap loop is a static Python loop
 (25 taps for width=4) of vectorized gathers/scatters.
+
+Two interpolation/gridding backends (``mode=``):
+
+- ``"scatter"`` — vectorized gather / scatter-add taps (CPU-friendly).
+- ``"matmul"`` — the KB window is separable, so gridding is ONE dense
+  matmul ``Ky^T @ (Kx * values)`` with per-axis one-hot KB row matrices,
+  and interpolation is ``rowsum((Ky @ grid) * Kx)`` — the same one-hot
+  pattern as ops/warp_mm (gathers/scatters are catastrophically slow on
+  the target TPU; dense matmuls run MXU-saturated).  Mathematically
+  identical to the scatter path (unit-tested); ~524 GFLOP per call at
+  AF+'s oversamp=5 (1600^2 grid), ~5 ms on a v5e MXU.
 """
 
 from __future__ import annotations
@@ -115,12 +126,28 @@ def _center_crop_or_pad(x: jnp.ndarray, oshape: Sequence[int]) -> jnp.ndarray:
     return out.at[tuple(oslice)].set(x[tuple(islice)])
 
 
+def _axis_kb_onehot(
+    k: jnp.ndarray, n_axis: int, width: float, table: jnp.ndarray, dtype
+) -> jnp.ndarray:
+    """(N,) scaled coords -> (N, n_axis) KB window rows: weight w_d at
+    column mod(ceil(k - width/2) + d, n_axis) for d in [0, width]."""
+    k0 = jnp.ceil(k - width / 2.0)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (k.shape[0], n_axis), 1)
+    out = jnp.zeros((k.shape[0], n_axis), dtype)
+    for d in range(int(width) + 1):
+        w = _lin_interp_kernel(table, jnp.abs(k0 + d - k) / (width / 2.0))
+        pos = jnp.mod(k0 + d, n_axis).astype(jnp.int32)[:, None]
+        out = out + (iota == pos).astype(dtype) * w.astype(dtype)[:, None]
+    return out
+
+
 def nufft2(
     image: jnp.ndarray,
     coord: jnp.ndarray,
     oversamp: float = 1.25,
     width: float = 4.0,
     n: int = 128,
+    mode: str = "scatter",
 ) -> jnp.ndarray:
     """Type-2 NUFFT: (H, W) image -> values at (npts, 2) k-coords
     ((y, x), centered at 0). Reference nufft() (nufft.py:10-40)."""
@@ -140,10 +167,27 @@ def nufft2(
     c = _scale_coord(coord, (h, w), oversamp)
     table = kb_kernel_table(n, width, beta)
     ky, kx = c[:, 0], c[:, 1]
-    y0 = jnp.ceil(ky - width / 2.0)
-    x0 = jnp.ceil(kx - width / 2.0)
     ny, nx = os_shape
 
+    if mode == "matmul":
+        k_y = _axis_kb_onehot(ky, ny, width, table, jnp.float32)
+        k_x = _axis_kb_onehot(kx, nx, width, table, jnp.float32)
+        # rows[p, x] = sum_y Ky[p, y] grid[y, x]; vals = sum_x rows * Kx.
+        rows_re = jax.lax.dot_general(
+            k_y, out.real, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        rows_im = jax.lax.dot_general(
+            k_y, out.imag, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return jax.lax.complex(
+            jnp.einsum("px,px->p", rows_re, k_x),
+            jnp.einsum("px,px->p", rows_im, k_x),
+        )
+
+    y0 = jnp.ceil(ky - width / 2.0)
+    x0 = jnp.ceil(kx - width / 2.0)
     vals = jnp.zeros((coord.shape[0],), out.dtype)
     for dy in range(int(width) + 1):
         wy = _lin_interp_kernel(table, jnp.abs(y0 + dy - ky) / (width / 2.0))
@@ -164,6 +208,7 @@ def nufft_adjoint(
     oversamp: float = 1.25,
     width: float = 4.0,
     n: int = 128,
+    mode: str = "scatter",
 ) -> jnp.ndarray:
     """Type-1 (adjoint) NUFFT: values at (npts, 2) coords -> (H, W) image.
 
@@ -179,19 +224,33 @@ def nufft_adjoint(
     c = _scale_coord(coord, (h, w), oversamp)
     table = kb_kernel_table(n, width, beta)
     ky, kx = c[:, 0], c[:, 1]
-    y0 = jnp.ceil(ky - width / 2.0)
-    x0 = jnp.ceil(kx - width / 2.0)
 
-    grid = jnp.zeros(os_shape, values.dtype)
-    for dy in range(int(width) + 1):
-        wy = _lin_interp_kernel(table, jnp.abs(y0 + dy - ky) / (width / 2.0))
-        yy = jnp.mod(y0 + dy, ny).astype(jnp.int32)
-        for dx in range(int(width) + 1):
-            wgt = wy * _lin_interp_kernel(
-                table, jnp.abs(x0 + dx - kx) / (width / 2.0)
+    if mode == "matmul":
+        k_y = _axis_kb_onehot(ky, ny, width, table, jnp.float32)
+        k_x = _axis_kb_onehot(kx, nx, width, table, jnp.float32)
+        # grid[u, v] = sum_p Ky[p, u] * values[p] * Kx[p, v]
+        def _grid(v):
+            return jax.lax.dot_general(
+                k_y, k_x * v[:, None], (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
             )
-            xx = jnp.mod(x0 + dx, nx).astype(jnp.int32)
-            grid = grid.at[yy, xx].add(wgt * values)
+
+        grid = jax.lax.complex(_grid(values.real), _grid(values.imag))
+    else:
+        y0 = jnp.ceil(ky - width / 2.0)
+        x0 = jnp.ceil(kx - width / 2.0)
+        grid = jnp.zeros(os_shape, values.dtype)
+        for dy in range(int(width) + 1):
+            wy = _lin_interp_kernel(
+                table, jnp.abs(y0 + dy - ky) / (width / 2.0)
+            )
+            yy = jnp.mod(y0 + dy, ny).astype(jnp.int32)
+            for dx in range(int(width) + 1):
+                wgt = wy * _lin_interp_kernel(
+                    table, jnp.abs(x0 + dx - kx) / (width / 2.0)
+                )
+                xx = jnp.mod(x0 + dx, nx).astype(jnp.int32)
+                grid = grid.at[yy, xx].add(wgt * values)
 
     out = jnp.fft.fftshift(
         jnp.fft.ifftn(jnp.fft.ifftshift(grid, axes=(-2, -1)), axes=(-2, -1)),

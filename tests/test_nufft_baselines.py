@@ -150,3 +150,40 @@ def test_afplus_fit_smoke():
     r = fit(sim.kspace)
     assert r.image.shape == (32, 32)
     assert np.isfinite(np.asarray(r.losses)).all()
+
+
+def test_nufft_matmul_mode_matches_scatter(rng):
+    from miccai24_immoco_tpu.ops.nufft import nufft2, nufft_adjoint
+
+    h = w = 24
+    img = jnp.asarray(
+        (rng.standard_normal((h, w)) + 1j * rng.standard_normal((h, w)))
+        .astype(np.complex64)
+    )
+    npts = 200
+    coord = jnp.asarray(
+        rng.uniform(-h / 2, h / 2 - 1, (npts, 2)).astype(np.float32)
+    )
+    a = nufft2(img, coord, mode="scatter")
+    b = nufft2(img, coord, mode="matmul")
+    np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                               rtol=1e-4, atol=1e-5)
+
+    vals = jnp.asarray(
+        (rng.standard_normal(npts) + 1j * rng.standard_normal(npts))
+        .astype(np.complex64)
+    )
+    ga = nufft_adjoint(vals, coord, (h, w), mode="scatter")
+    gb = nufft_adjoint(vals, coord, (h, w), mode="matmul")
+    np.testing.assert_allclose(np.asarray(gb), np.asarray(ga),
+                               rtol=1e-4, atol=1e-5)
+
+    # Gradient parity through the adjoint (the AF+ training path).
+    def loss(v, mode):
+        out = nufft_adjoint(v, coord, (h, w), mode=mode)
+        return jnp.sum(jnp.abs(out) ** 2)
+
+    g_s = jax.grad(lambda v: loss(v, "scatter"))(vals)
+    g_m = jax.grad(lambda v: loss(v, "matmul"))(vals)
+    np.testing.assert_allclose(np.asarray(g_m), np.asarray(g_s),
+                               rtol=1e-4, atol=1e-5)
