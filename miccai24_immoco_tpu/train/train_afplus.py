@@ -69,22 +69,35 @@ def afplus_inner_unrolled(
 
     b1, b2 = cfg.b1, cfg.b2
     z = jnp.zeros((ps,), jnp.float32)
-    xs, ys, rot = z, z, z
-    m = [z] * 6
-    for _ in range(iters):  # static unroll: gradients flow through updates
+
+    @jax.checkpoint
+    def one_inner(xs, ys, rot, m):
+        # Rematerialized per inner iteration: the outer (metric-network)
+        # gradient differentiates through all `iters` unrolled steps
+        # (torch create_graph=True, train_afplus_original.py:157-212);
+        # without remat every step's NUFFT intermediates — two
+        # (H*W, os_grid) one-hot KB matrices each — stay live at once.
         gx, gy, gr = jax.grad(inner_loss, argnums=(0, 1, 2))(xs, ys, rot)
-        gx, gy, gr = gx * cfg.grad_scale, gy * cfg.grad_scale, gr * cfg.grad_scale
-        m = [
+        gx, gy, gr = (
+            gx * cfg.grad_scale, gy * cfg.grad_scale, gr * cfg.grad_scale
+        )
+        m = (
             b1 * jax.lax.stop_gradient(m[0]) + (1 - b1) * gx,
             b2 * jax.lax.stop_gradient(m[1]) + (1 - b2) * gx * gx + 1e-24,
             b1 * jax.lax.stop_gradient(m[2]) + (1 - b1) * gy,
             b2 * jax.lax.stop_gradient(m[3]) + (1 - b2) * gy * gy + 1e-24,
             b1 * m[4] + (1 - b1) * gr,
             b2 * m[5] + (1 - b2) * gr * gr + 1e-24,
-        ]
+        )
         xs = xs - cfg.learning_rate * m[0] * jax.lax.rsqrt(m[1])
         ys = ys - cfg.learning_rate * m[2] * jax.lax.rsqrt(m[3])
         rot = rot - cfg.learning_rate * m[4] * jax.lax.rsqrt(m[5])
+        return xs, ys, rot, m
+
+    xs, ys, rot = z, z, z
+    m = (z,) * 6
+    for _ in range(iters):  # static unroll: gradients flow through updates
+        xs, ys, rot, m = one_inner(xs, ys, rot, m)
     return transform(xs, ys, rot)
 
 
