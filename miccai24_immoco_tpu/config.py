@@ -137,8 +137,14 @@ class InstanceFitConfig:
     compute_dtype: str = "float32"
     # Warp implementation: "matmul" runs bilinear sampling as one-hot MXU
     # matmuls (no gather/scatter — 35x faster per fit iteration on TPU, see
-    # ops/warp_mm.py); "gather" is the torch-semantics reference path.
+    # ops/warp_mm.py); "gather" is the torch-semantics reference path;
+    # "pallas_tiled" is the fused windowed Pallas kernel (custom forward AND
+    # backward, ~6x fewer warp FLOPs; requires motion_disp_px <=
+    # warp_pallas_tile_px/2 - 2, see ops/warp_tiled_pallas.py).
     warp_impl: str = "matmul"
+    # Output-tile edge for warp_impl="pallas_tiled" (source window is twice
+    # this); H, W must be divisible by it.
+    warp_pallas_tile_px: int = 64
     # Optional displacement cap in pixels: scales the Motion INR's tanh
     # output so |displacement| <= motion_disp_px (reference allows the full
     # +-1 normalized range = +-half the image; protocol motions are <=~30 px

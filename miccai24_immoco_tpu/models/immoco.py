@@ -126,6 +126,25 @@ class IMMoCoModel:
                 band_px=self.cfg.warp_band_px,
                 tile_px=self.cfg.warp_tile_px,
             )
+        elif self.cfg.warp_impl == "pallas_tiled":
+            from miccai24_immoco_tpu.ops.warp_tiled_pallas import (
+                bilinear_sample_tiled_pallas,
+            )
+
+            tile = self.cfg.warp_pallas_tile_px
+            if (
+                self.cfg.motion_disp_px is None
+                or self.cfg.motion_disp_px > tile // 2 - 2
+            ):
+                raise ValueError(
+                    "warp_impl='pallas_tiled' requires motion_disp_px <= "
+                    f"warp_pallas_tile_px/2 - 2 = {tile // 2 - 2} (got "
+                    f"{self.cfg.motion_disp_px}); the window only covers "
+                    "displacements within that bound"
+                )
+            motion_images = bilinear_sample_tiled_pallas(
+                image, grids, align_corners=False, tile_px=tile
+            )
         elif self.cfg.warp_impl == "pallas":
             from miccai24_immoco_tpu.ops.warp_pallas import (
                 bilinear_sample_pallas,

@@ -5,6 +5,8 @@ extract movement groups -> instance fit -> quarter-crop metrics; asserts the
 fit improves SSIM/PSNR over the corrupted image for both encoding backends.
 """
 
+import dataclasses
+
 import numpy as np
 import pytest
 
@@ -170,3 +172,42 @@ def test_image_only_fit_reconstructs_clean_slice():
     m = calmetric2d(center_crop_quarter(rec), center_crop_quarter(gt))
     assert float(m.ssim) > 0.95, float(m.ssim)
     assert float(r.losses[-1]) < 1e-2 * float(r.losses[0])
+
+
+def test_forward_model_pallas_tiled_matches_matmul():
+    """warp_impl='pallas_tiled' (interpret mode on CPU) must reproduce the
+    matmul-warp forward model at a displacement-capped config."""
+    h = w = 128
+    img = synthetic_brain(h, w)
+    sim = simulate_motion_2d(jax.random.PRNGKey(0), img, n_movements=2)
+    masks, _ = extract_movement_groups(sim.mask[0], w, 3)
+
+    base = dataclasses.replace(
+        small_cfg("lattice", "lattice", max_movements=3),
+        motion_disp_px=14,
+        warp_pallas_tile_px=32,
+    )
+    model_a = build_immoco(dataclasses.replace(base, warp_impl="matmul"), h, w)
+    model_b = build_immoco(
+        dataclasses.replace(base, warp_impl="pallas_tiled"), h, w
+    )
+    params = model_a.init(jax.random.PRNGKey(1))
+    k_a, img_a = model_a.forward(params, masks, model_a.statics)
+    k_b, img_b = model_b.forward(params, masks, model_b.statics)
+    scale = float(jnp.abs(k_a).max())
+    assert float(jnp.abs(k_a - k_b).max()) < 3e-2 * scale
+    np.testing.assert_allclose(np.asarray(img_a), np.asarray(img_b), atol=1e-5)
+
+
+def test_pallas_tiled_requires_disp_cap():
+    base = dataclasses.replace(
+        small_cfg("lattice", "lattice", max_movements=3),
+        warp_impl="pallas_tiled",
+        warp_pallas_tile_px=32,
+        motion_disp_px=None,
+    )
+    model = build_immoco(base, 128, 128)
+    params = model.init(jax.random.PRNGKey(1))
+    masks = jnp.zeros((3, 128, 128))
+    with pytest.raises(ValueError, match="motion_disp_px"):
+        model.forward(params, masks, model.statics)
