@@ -78,7 +78,7 @@ def main():
         compute_dtype=os.environ.get("BENCH_DTYPE", "float32"),
         kspace_op=os.environ.get("BENCH_KOP", "fft"),
         warp_tile_px=int(os.environ.get("BENCH_TILE", "0")),
-        warp_impl=os.environ.get("BENCH_WARP", "matmul"),
+        warp_impl=os.environ.get("BENCH_WARP", "pallas_tiled"),
         warp_pallas_tile_px=int(os.environ.get("BENCH_PTILE", "64")),
     )
 

@@ -85,6 +85,14 @@ def make_segment(model, variant):
             motion_images = jnp.broadcast_to(image[None], (M, H, W)) * (
                 1.0 + 0.0 * grids[..., 0]
             )
+        elif os.environ.get("ABL_WARP", "matmul") == "pallas_tiled":
+            from miccai24_immoco_tpu.ops.warp_tiled_pallas import (
+                bilinear_sample_tiled_pallas,
+            )
+
+            motion_images = bilinear_sample_tiled_pallas(
+                image, grids, align_corners=False
+            )
         else:
             motion_images = bilinear_sample_mm(
                 image, grids, align_corners=False

@@ -79,11 +79,14 @@ def main():
         "matmul": lambda im, gr: bilinear_sample_mm(im, gr),
     }
     for name, warp in impls.items():
+        # The loop-carried 1e-9*c perturbation of the grids makes every
+        # iteration's warp input depend on the previous output, so XLA can
+        # neither hoist the warp out of the scan nor DCE it (landmine 10).
         def fwd_loop(reps, warp=warp):
             def f(im, gr):
                 def body(c, _):
-                    out = warp(im, gr + 0.0 * c)
-                    return c + jnp.abs(out).mean() * 1e-9, None
+                    out = warp(im, gr + 1e-9 * c)
+                    return jnp.abs(out).mean(), None
 
                 return jax.lax.scan(body, 0.0, None, length=reps)[0]
 
@@ -98,14 +101,9 @@ def main():
 
                 def body(c, _):
                     gi, gg = jax.grad(loss, argnums=(0, 1))(
-                        im * (1 + 0 * c), gr
+                        im + 1e-9 * c, gr + 1e-9 * c
                     )
-                    return (
-                        c
-                        + jnp.abs(gi).mean() * 1e-9
-                        + jnp.abs(gg).mean() * 1e-9,
-                        None,
-                    )
+                    return jnp.abs(gi).mean() + jnp.abs(gg).mean(), None
 
                 return jax.lax.scan(body, 0.0, None, length=reps)[0]
 
