@@ -6,10 +6,18 @@ When the displacement field is bounded (InstanceFitConfig.motion_disp_px,
 bench default 30 px), every source tap of an output pixel lies within
 ``pad = tile_px/2`` rows/cols of its tile, so a (tile, tile) output tile only
 reads a (2*tile, 2*tile) source window: FLOPs drop by (2t)^2/(H*W) — 6.25x
-at 320^2 with tile 64 — while each Pallas grid step still runs ONE large
-(tile^2, 2t) @ (2t, 2t) matmul per channel, avoiding the batched-dot_general
+at 320^2 with tile 64 — while each Pallas grid step still runs large
+(tile^2, 2t) @ (2t, 2t) matmuls, avoiding the batched-dot_general
 MXU-efficiency cliff that made the pure-XLA tiled variants slower
 (PERFORMANCE.md "2-D tiled warp"/"static-window banded warp" rows).
+
+Grid layout: ONE grid step per source window (K = (H/t)*(W/t) steps), with
+the movement loop UNROLLED INSIDE the kernel.  The first cut (one step per
+(movement, tile) pair) measured ~16 us/step against ~3.5 us of VPU+MXU work
+— per-step pipeline overhead dominated — so amortizing it over the M
+movements that share a window is ~3x (scripts/probe_warp_fold.py history).
+This also lets the backward accumulate the window gradient across movements
+in VMEM and write it once (no XLA-side reduction).
 
 Toolchain notes (probed on this remote Mosaic backend, scripts/probe_pallas*):
 - int-compare one-hot construction crashes the compiler (HTTP 500); the
@@ -31,10 +39,10 @@ tile_px/2 - 2 pixels.  Gradient semantics match ops/warp.py's gather
 reference: out-of-image taps contribute zero value AND zero coordinate
 gradient; d/dcoord treats floor() as piecewise-constant.
 
-The backward is a second Pallas kernel emitting per-tile window gradients
-(reduced and un-sliced in XLA outside — static pads, no scatter) plus the
-two coordinate-gradient vectors; residuals are just (planes, pixel coords),
-so no rematerialization wrapper is needed around this op.
+The backward is a second Pallas kernel emitting per-window gradients
+(un-sliced in XLA outside — static pads, no scatter) plus the coordinate
+gradients; residuals are just (planes, pixel coords), so no
+rematerialization wrapper is needed around this op.
 """
 
 from __future__ import annotations
@@ -50,74 +58,92 @@ def _interpret_default() -> bool:
     return jax.default_backend() == "cpu"
 
 
-def _hat(pos_row: jnp.ndarray, size: int, dtype) -> jnp.ndarray:
-    """pos_row: (1, n) window-local coords -> (n, size) bilinear weight rows.
+def _hat(pos: jnp.ndarray, size: int, dtype) -> jnp.ndarray:
+    """pos: (n,) window-local coords -> (n, size) bilinear weight rows.
 
     relu(1 - |idx - pos|) holds (1-t) at floor(pos) and t at floor(pos)+1 and
     zero elsewhere — the one-hot lerp row without integer ops.
     """
-    n = pos_row.shape[1]
+    n = pos.shape[0]
     idx = jax.lax.broadcasted_iota(jnp.int32, (n, size), 1).astype(jnp.float32)
-    pos = pos_row[0, :][:, None]
-    return jnp.maximum(0.0, 1.0 - jnp.abs(idx - pos)).astype(dtype)
+    return jnp.maximum(0.0, 1.0 - jnp.abs(idx - pos[:, None])).astype(dtype)
 
 
-def _hat_d(pos_row: jnp.ndarray, size: int) -> jnp.ndarray:
+def _hat_d(pos: jnp.ndarray, size: int) -> jnp.ndarray:
     """d(hat)/d(pos): -1 on the floor tap (idx - pos in (-1, 0]), +1 on the
     ceil tap (idx - pos in (0, 1]), 0 outside — matches the one-hot
     formulation's (hi - lo) derivative rows (warp_mm._one_hot_pair)."""
-    n = pos_row.shape[1]
+    n = pos.shape[0]
     idx = jax.lax.broadcasted_iota(jnp.int32, (n, size), 1).astype(jnp.float32)
-    e = idx - pos_row[0, :][:, None]
+    e = idx - pos[:, None]
     lo = jnp.where((e > -1.0) & (e <= 0.0), -1.0, 0.0)
     hi = jnp.where((e > 0.0) & (e <= 1.0), 1.0, 0.0)
     return lo + hi
 
 
 def _fwd_kernel(gy_ref, gx_ref, win_ref, out_ref, *, wy, wx, c):
-    ay = _hat(gy_ref[0], wy, jnp.bfloat16)  # (n, wy)
-    ax = _hat(gx_ref[0], wx, jnp.float32)  # (n, wx) f32 epilogue operand
+    # Grid (K windows, M movements), movements innermost: the window block
+    # is statically indexed by the window axis only, so it stays resident
+    # in VMEM across its M consecutive steps, and every other block is a
+    # small statically-indexed per-(window, movement) slab.  Measured
+    # equivalents and dead ends (scripts/probe_warp_tiled.py history):
+    # dynamic sublane loads/stores and fori-loop movement loops are several
+    # times slower; Python-unrolled movement chunks blow the 16 MB
+    # scoped-VMEM limit (Mosaic keeps every unrolled iteration's
+    # temporaries live) or SIGKILL the remote compile helper; a
+    # movement-only grid with an in-kernel fori over windows matches this
+    # design's forward but cannot fit the backward in VMEM.  All variants
+    # converge to ~18 us per (movement, window) unit: the kernel is
+    # VPU-bound on hat/weight construction, not MXU- or overhead-bound.
+    ay = _hat(gy_ref[0, 0, 0, :], wy, jnp.bfloat16)
+    ax = _hat(gx_ref[0, 0, 0, :], wx, jnp.bfloat16)
     for ci in range(c):
         rows = jax.lax.dot_general(
             ay,
             win_ref[0, ci],
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )  # (n, wx)
-        out_ref[0, ci] = jnp.sum(rows * ax, axis=1)
+        ).astype(jnp.bfloat16)  # (n, wx)
+        out_ref[0, 0, ci, :] = jnp.sum(rows * ax, axis=1, dtype=jnp.float32)
 
 
 def _bwd_kernel(
-    gy_ref, gx_ref, win_ref, dout_ref, dwin_ref, dgy_ref, dgx_ref, *, wy, wx, c
+    gy_ref, gx_ref, win_ref, dout_ref, dwin_ref, dgy_ref, dgx_ref,
+    *, wy, wx, c
 ):
-    ay = _hat(gy_ref[0], wy, jnp.bfloat16)
-    ax = _hat(gx_ref[0], wx, jnp.float32)
-    ayd = _hat_d(gy_ref[0], wy).astype(jnp.bfloat16)
-    axd = _hat_d(gx_ref[0], wx)
-    n = gy_ref.shape[-1]
+    gy = gy_ref[0, 0, 0, :]
+    gx = gx_ref[0, 0, 0, :]
+    ay = _hat(gy, wy, jnp.bfloat16)
+    ax = _hat(gx, wx, jnp.bfloat16)
+    ayd = _hat_d(gy, wy).astype(jnp.bfloat16)
+    axd = _hat_d(gx, wx).astype(jnp.bfloat16)
+    n = gy.shape[0]
     dgy = jnp.zeros((n,), jnp.float32)
     dgx = jnp.zeros((n,), jnp.float32)
     for ci in range(c):
         w = win_ref[0, ci]  # (wy, wx) bf16
-        do = dout_ref[0, ci]  # (n,) f32
+        do = dout_ref[0, 0, ci, :]  # (n,) f32
         rows = jax.lax.dot_general(
             ay, w, dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )
+        ).astype(jnp.bfloat16)
         rows_d = jax.lax.dot_general(
             ayd, w, dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )
-        dgy += jnp.sum(rows_d * ax, axis=1) * do
-        dgx += jnp.sum(rows * axd, axis=1) * do
-        # d_window[y, x] = sum_n ay[n, y] * ax[n, x] * do[n]
+        ).astype(jnp.bfloat16)
+        dgy += jnp.sum(rows_d * ax, axis=1, dtype=jnp.float32) * do
+        dgx += jnp.sum(rows * axd, axis=1, dtype=jnp.float32) * do
+        # d_window[y, x] = sum_n ay[n, y] * ax[n, x] * do[n]; per-(k, m)
+        # blocks, reduced over movements in XLA outside (bf16 outputs keep
+        # the buffers small enough for XLA's scoped-VMEM placement of
+        # custom-call operands inside the scanned fit step).
         t = (ax * do[:, None]).astype(jnp.bfloat16)  # (n, wx)
-        dwin_ref[0, ci] = jax.lax.dot_general(
+        dwin_ref[0, 0, ci] = jax.lax.dot_general(
             ay, t, dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )
-    dgy_ref[0, 0] = dgy
-    dgx_ref[0, 0] = dgx
+        ).astype(jnp.bfloat16)
+    dgy_ref[0, 0, 0, :] = dgy.astype(jnp.bfloat16)
+    dgx_ref[0, 0, 0, :] = dgx.astype(jnp.bfloat16)
 
 
 def _window_starts(size: int, n_tiles: int, tile: int, win: int):
@@ -128,19 +154,19 @@ def _window_starts(size: int, n_tiles: int, tile: int, win: int):
 
 
 def _tile_coords(g: jnp.ndarray, ny, nx, b):
-    """(M, Ho, Wo) -> (M*ny*nx, 1, b*b) in tile-major order."""
+    """(M, Ho, Wo) -> (K, M, 1, b*b): window-major, movements inner."""
     m = g.shape[0]
-    t = g.reshape(m, ny, b, nx, b).transpose(0, 1, 3, 2, 4)
-    return t.reshape(m * ny * nx, 1, b * b)
+    t = g.reshape(m, ny, b, nx, b).transpose(1, 3, 0, 2, 4)
+    return t.reshape(ny * nx, m, 1, b * b)
 
 
 def _untile(out: jnp.ndarray, m, ny, nx, b, c):
-    """(T, C, n) -> (M, Ho, Wo, C)."""
-    t = out.reshape(m, ny, nx, c, b, b).transpose(0, 1, 4, 2, 5, 3)
+    """(K, M, C, n) -> (M, Ho, Wo, C)."""
+    t = out.reshape(ny, nx, m, c, b, b).transpose(2, 0, 4, 1, 5, 3)
     return t.reshape(m, ny * b, nx * b, c)
 
 
-def _build(planes, gy_px, gx_px, tile: int, interpret: bool):
+def _build(planes, gy_px, gx_px, tile: int):
     """Shared forward/backward preprocessing: windows + local tile coords."""
     c, h, w = planes.shape
     m, ho, wo = gy_px.shape
@@ -160,10 +186,9 @@ def _build(planes, gy_px, gx_px, tile: int, interpret: bool):
         [float(sy) for sy in sys_ for _ in sxs_], jnp.float32
     )  # (K,)
     sx_t = jnp.asarray([float(sx) for _ in sys_ for sx in sxs_], jnp.float32)
-    k = ny * nx
-    gyl = _tile_coords(gy_px, ny, nx, b) - jnp.tile(sy_t, (m,))[:, None, None]
-    gxl = _tile_coords(gx_px, ny, nx, b) - jnp.tile(sx_t, (m,))[:, None, None]
-    return windows, gyl, gxl, (c, m, ny, nx, b, win, k, sys_, sxs_)
+    gyl = _tile_coords(gy_px, ny, nx, b) - sy_t[:, None, None, None]
+    gxl = _tile_coords(gx_px, ny, nx, b) - sx_t[:, None, None, None]
+    return windows, gyl, gxl, (c, m, ny, nx, b, win, sys_, sxs_)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
@@ -174,20 +199,20 @@ def _warp_tiled(planes, gy_px, gx_px, tile: int, interpret: bool):
 
 
 def _warp_tiled_fwd(planes, gy_px, gx_px, tile, interpret):
-    windows, gyl, gxl, meta = _build(planes, gy_px, gx_px, tile, interpret)
-    c, m, ny, nx, b, win, k, _, _ = meta
+    windows, gyl, gxl, meta = _build(planes, gy_px, gx_px, tile)
+    c, m, ny, nx, b, win, _, _ = meta
     n = b * b
-    t = m * k
+    k = ny * nx
     out = pl.pallas_call(
         functools.partial(_fwd_kernel, wy=win, wx=win, c=c),
-        grid=(t,),
+        grid=(k, m),
         in_specs=[
-            pl.BlockSpec((1, 1, n), lambda i: (i, 0, 0)),
-            pl.BlockSpec((1, 1, n), lambda i: (i, 0, 0)),
-            pl.BlockSpec((1, c, win, win), lambda i: (i % k, 0, 0, 0)),
+            pl.BlockSpec((1, 1, 1, n), lambda i, j: (i, j, 0, 0)),
+            pl.BlockSpec((1, 1, 1, n), lambda i, j: (i, j, 0, 0)),
+            pl.BlockSpec((1, c, win, win), lambda i, j: (i, 0, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, c, n), lambda i: (i, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((t, c, n), jnp.float32),
+        out_specs=pl.BlockSpec((1, 1, c, n), lambda i, j: (i, j, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((k, m, c, n), jnp.float32),
         interpret=interpret,
     )(gyl, gxl, windows)
     return _untile(out, m, ny, nx, b, c), (planes, gy_px, gx_px)
@@ -195,51 +220,59 @@ def _warp_tiled_fwd(planes, gy_px, gx_px, tile, interpret):
 
 def _warp_tiled_bwd(tile, interpret, res, d_out):
     planes, gy_px, gx_px = res
-    windows, gyl, gxl, meta = _build(planes, gy_px, gx_px, tile, interpret)
-    c, m, ny, nx, b, win, k, sys_, sxs_ = meta
+    windows, gyl, gxl, meta = _build(planes, gy_px, gx_px, tile)
+    c, m, ny, nx, b, win, sys_, sxs_ = meta
     n = b * b
-    t = m * k
+    k = ny * nx
     d_tiled = (
         d_out.reshape(m, ny, b, nx, b, c)
-        .transpose(0, 1, 3, 5, 2, 4)
-        .reshape(t, c, n)
+        .transpose(1, 3, 0, 5, 2, 4)
+        .reshape(k, m, c, n)
         .astype(jnp.float32)
     )
     d_win, d_gyl, d_gxl = pl.pallas_call(
         functools.partial(_bwd_kernel, wy=win, wx=win, c=c),
-        grid=(t,),
+        grid=(k, m),
         in_specs=[
-            pl.BlockSpec((1, 1, n), lambda i: (i, 0, 0)),
-            pl.BlockSpec((1, 1, n), lambda i: (i, 0, 0)),
-            pl.BlockSpec((1, c, win, win), lambda i: (i % k, 0, 0, 0)),
-            pl.BlockSpec((1, c, n), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, 1, 1, n), lambda i, j: (i, j, 0, 0)),
+            pl.BlockSpec((1, 1, 1, n), lambda i, j: (i, j, 0, 0)),
+            pl.BlockSpec((1, c, win, win), lambda i, j: (i, 0, 0, 0)),
+            pl.BlockSpec((1, 1, c, n), lambda i, j: (i, j, 0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((1, c, win, win), lambda i: (i, 0, 0, 0)),
-            pl.BlockSpec((1, 1, n), lambda i: (i, 0, 0)),
-            pl.BlockSpec((1, 1, n), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, 1, c, win, win), lambda i, j: (i, j, 0, 0, 0)),
+            pl.BlockSpec((1, 1, 1, n), lambda i, j: (i, j, 0, 0)),
+            pl.BlockSpec((1, 1, 1, n), lambda i, j: (i, j, 0, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((t, c, win, win), jnp.float32),
-            jax.ShapeDtypeStruct((t, 1, n), jnp.float32),
-            jax.ShapeDtypeStruct((t, 1, n), jnp.float32),
+            jax.ShapeDtypeStruct((k, m, c, win, win), jnp.bfloat16),
+            jax.ShapeDtypeStruct((k, m, 1, n), jnp.bfloat16),
+            jax.ShapeDtypeStruct((k, m, 1, n), jnp.bfloat16),
         ],
         interpret=interpret,
     )(gyl, gxl, windows, d_tiled)
+    # Reduce the per-(window, movement) gradients over movements.
+    d_win = d_win.astype(jnp.float32).sum(axis=1)
+    # Barrier: without it XLA fuses the untiling transposes into the
+    # custom-call's output scope and promotes a full 16 MB gradient buffer
+    # into scoped VMEM inside the scanned fit step (OOM at the 16 MB limit).
+    d_win, d_gyl, d_gxl = jax.lax.optimization_barrier(
+        (d_win, d_gyl, d_gxl)
+    )
 
-    # Window grads: reduce over movements, then un-slice (static pads).
-    d_win_k = d_win.reshape(m, k, c, win, win).sum(0)
+    # Un-slice the per-window gradients (overlaps add; static pads).
     d_planes = jnp.zeros_like(planes)
     ki = 0
     for sy in sys_:
         for sx in sxs_:
             d_planes = d_planes.at[:, sy : sy + win, sx : sx + win].add(
-                d_win_k[ki]
+                d_win[ki]
             )
             ki += 1
 
-    def untile1(x):  # (T, 1, n) -> (M, Ho, Wo)
-        return _untile(x.reshape(t, 1, n), m, ny, nx, b, 1)[..., 0]
+    def untile1(x):  # (K, M, 1, n) -> (M, Ho, Wo)
+        t = x.astype(jnp.float32).reshape(ny, nx, m, b, b)
+        return t.transpose(2, 0, 3, 1, 4).reshape(m, ny * b, nx * b)
 
     return d_planes, untile1(d_gyl), untile1(d_gxl)
 

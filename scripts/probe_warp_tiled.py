@@ -112,5 +112,69 @@ def main():
         timed(f"{name}_fwd+grad", grad_loop)
 
 
+def main_vmapped(batch=4):
+    """Same fwd+grad timing but vmapped over a batch of slices (the
+    sharded-fit usage): isolates pallas-call vmap batching cost."""
+    global img, grids
+    img, grids = setup(jax.random.PRNGKey(0))
+    imgs = jnp.stack([img] * batch)
+    gridss = jnp.stack([grids] * batch)
+
+    for name, warp in {
+        "tiled_pallas": lambda im, gr: bilinear_sample_tiled_pallas(im, gr),
+        "matmul": lambda im, gr: bilinear_sample_mm(im, gr),
+    }.items():
+        def fwd_loop(reps, warp=warp):
+            def f(ims, grs):
+                def body(c, _):
+                    out = jax.vmap(warp)(ims + 0 * c, grs + 1e-9 * c)
+                    return jnp.abs(out).mean(), None
+
+                return jax.lax.scan(body, 0.0, None, length=reps)[0]
+
+            return f
+
+        outs = {}
+        for reps in (REPS, 2 * REPS):
+            f = jax.jit(fwd_loop(reps))
+            f(imgs, gridss)
+            sync(f(imgs, gridss))
+            t0 = time.perf_counter()
+            sync(f(imgs, gridss))
+            outs[reps] = time.perf_counter() - t0
+        per = (outs[2 * REPS] - outs[REPS]) / REPS * 1000
+        print(f"vmap{batch} {name}_fwd: {per:.2f} ms/op", flush=True)
+
+        def grad_loop(reps, warp=warp):
+            def f(ims, grs):
+                def loss(i2, g2):
+                    out = jax.vmap(warp)(i2, g2)
+                    return jnp.sum(jnp.abs(out) ** 2)
+
+                def body(c, _):
+                    gi, gg = jax.grad(loss, argnums=(0, 1))(
+                        ims + 1e-9 * c, grs + 1e-9 * c
+                    )
+                    return jnp.abs(gi).mean() + jnp.abs(gg).mean(), None
+
+                return jax.lax.scan(body, 0.0, None, length=reps)[0]
+
+            return f
+
+        outs = {}
+        for reps in (REPS, 2 * REPS):
+            f = jax.jit(grad_loop(reps))
+            f(imgs, gridss)
+            sync(f(imgs, gridss))
+            t0 = time.perf_counter()
+            sync(f(imgs, gridss))
+            outs[reps] = time.perf_counter() - t0
+        per = (outs[2 * REPS] - outs[REPS]) / REPS * 1000
+        print(f"vmap{batch} {name}_fwd+grad: {per:.2f} ms/op", flush=True)
+
+
 if __name__ == "__main__":
-    main()
+    if os.environ.get("PROBE_VMAP"):
+        main_vmapped(int(os.environ["PROBE_VMAP"]))
+    else:
+        main()
