@@ -300,6 +300,10 @@ def cmd_train_afplus(args):
                                 num_pool_layers=6, norm="instance"))
     cfg = AFPlusTrainConfig(steps=args.steps)
     init_fn, train_step, _ = make_afplus_trainer(net, cfg, image_shape=(h, w))
+    log_fn = _make_log_fn(
+        "MICCAI_MoCo", "AFPlus",
+        {"steps": args.steps, "inner_iters": cfg.inner_iters},
+    )
     key = jax.random.PRNGKey(cfg.seed)
     key, ik = jax.random.split(key)
     params, opt_state = init_fn(ik)
@@ -310,7 +314,9 @@ def cmd_train_afplus(args):
             params, opt_state, sk, train[i % n]
         )
         if i % 10 == 0:
-            print(i, float(loss))
+            log_fn(i, {"loss": float(loss)})
+        if i and i % 100 == 0:
+            save(args.out, params)  # periodic: long runs survive preemption
     save(args.out, params)
     print(f"saved {args.out}")
 

@@ -38,7 +38,7 @@ class AFPlusResult(NamedTuple):
 
 
 def rotate_kspace(ks: jnp.ndarray, rot_vector: jnp.ndarray, oversamp: int = 5,
-                  nufft_mode: str = "matmul"):
+                  nufft_mode: str = "matmul", nufft_chunk: int = 0):
     """R_differentiable (af_plus.py:21-32): per-row rotation of k-space
     sample coordinates, regridded via NUFFT adjoint, re-FFT'd.
 
@@ -55,7 +55,7 @@ def rotate_kspace(ks: jnp.ndarray, rot_vector: jnp.ndarray, oversamp: int = 5,
     rx = sin[:, None] * gy + cos[:, None] * gx
     coord = jnp.stack([ry.reshape(-1), rx.reshape(-1)], axis=-1)  # (N, 2)
     img = nufft_adjoint(ks.reshape(-1), coord, (h, w), oversamp=oversamp,
-                        mode=nufft_mode)
+                        mode=nufft_mode, chunk=nufft_chunk)
     return fft2c(img)
 
 

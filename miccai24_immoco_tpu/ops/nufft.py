@@ -209,6 +209,7 @@ def nufft_adjoint(
     width: float = 4.0,
     n: int = 128,
     mode: str = "scatter",
+    chunk: int = 0,
 ) -> jnp.ndarray:
     """Type-1 (adjoint) NUFFT: values at (npts, 2) coords -> (H, W) image.
 
@@ -225,7 +226,44 @@ def nufft_adjoint(
     table = kb_kernel_table(n, width, beta)
     ky, kx = c[:, 0], c[:, 1]
 
-    if mode == "matmul":
+    if mode == "matmul" and chunk and values.shape[0] % chunk == 0:
+        # Chunked gridding: the full per-axis KB one-hot matrices are
+        # (N, os_grid) f32 — 625 MB each at 320^2 x oversamp 5 — which blows
+        # HBM inside the AF+ bilevel training unroll (each inner iteration's
+        # forward + inner gradient holds several at once).  Accumulating the
+        # grid over point chunks keeps peak memory at the chunk size with
+        # identical math and MXU-bound matmuls (K = chunk stays large).
+        nc = values.shape[0] // chunk
+
+        @jax.checkpoint
+        def body(acc, args):
+            # Rematerialized: without it the scan's vjp STACKS each chunk's
+            # KB one-hot matrices as residuals — reconstituting the full
+            # (N, os_grid) buffers the chunking exists to avoid.
+            kyc, kxc, vre, vim = args
+            k_y = _axis_kb_onehot(kyc, ny, width, table, jnp.float32)
+            k_x = _axis_kb_onehot(kxc, nx, width, table, jnp.float32)
+
+            def _grid(v):
+                return jax.lax.dot_general(
+                    k_y, k_x * v[:, None], (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+
+            return (acc[0] + _grid(vre), acc[1] + _grid(vim)), None
+
+        (g_re, g_im), _ = jax.lax.scan(
+            body,
+            (jnp.zeros(os_shape, jnp.float32), jnp.zeros(os_shape, jnp.float32)),
+            (
+                ky.reshape(nc, chunk),
+                kx.reshape(nc, chunk),
+                values.real.reshape(nc, chunk),
+                values.imag.reshape(nc, chunk),
+            ),
+        )
+        grid = jax.lax.complex(g_re, g_im)
+    elif mode == "matmul":
         k_y = _axis_kb_onehot(ky, ny, width, table, jnp.float32)
         k_x = _axis_kb_onehot(kx, nx, width, table, jnp.float32)
         # grid[u, v] = sum_p Ky[p, u] * values[p] * Kx[p, v]

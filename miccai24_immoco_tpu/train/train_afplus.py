@@ -40,6 +40,9 @@ class AFPlusTrainConfig:
     clip_norm: float = 1.0
     seed: int = 228
     nufft_oversamp: int = 5
+    # Chunked KB gridding (ops/nufft.py): peak-memory control for the
+    # bilevel unroll; 0 = unchunked. 12800 = 8 chunks at 320^2.
+    nufft_chunk: int = 12800
 
 
 def afplus_inner_unrolled(
@@ -48,6 +51,7 @@ def afplus_inner_unrolled(
     iters: int,
     oversamp: int,
     cfg: AFPlusConfig = AFPlusConfig(),
+    nufft_chunk: int = 0,
 ):
     """Run `iters` AF+ Adam steps, differentiable end-to-end; returns the
     corrected k-space (the training variant without zero_middle)."""
@@ -61,7 +65,7 @@ def afplus_inner_unrolled(
             lin[:, None] * xs[None, :] + (ys * lin)[None, :]
         )
         new_k = mag * jnp.exp(1j * (ang + phase))
-        return rotate_kspace(new_k, rot, oversamp)
+        return rotate_kspace(new_k, rot, oversamp, nufft_chunk=nufft_chunk)
 
     def inner_loss(xs, ys, rot):
         img = jnp.abs(ifft2c(transform(xs, ys, rot)))
@@ -94,10 +98,18 @@ def afplus_inner_unrolled(
         rot = rot - cfg.learning_rate * m[4] * jax.lax.rsqrt(m[5])
         return xs, ys, rot, m
 
-    xs, ys, rot = z, z, z
-    m = (z,) * 6
-    for _ in range(iters):  # static unroll: gradients flow through updates
-        xs, ys, rot, m = one_inner(xs, ys, rot, m)
+    def scan_body(carry, _):
+        xs, ys, rot, m = carry
+        return one_inner(xs, ys, rot, m), None
+
+    # lax.scan, not a Python unroll: gradients flow through scan identically
+    # (the outer metric-network grad differentiates the whole inner
+    # optimization either way), but the traced graph is 1 body instead of
+    # `iters` copies — the unrolled variant took >40 min to compile on the
+    # remote TPU compile service at 320^2.
+    (xs, ys, rot, m), _ = jax.lax.scan(
+        scan_body, (z, z, z, (z,) * 6), None, length=iters
+    )
     return transform(xs, ys, rot)
 
 
@@ -140,7 +152,8 @@ def make_afplus_trainer(
 
         def loss_fn(p):
             yp_ks = afplus_inner_unrolled(
-                metric_fn_of(p), ks, cfg.inner_iters, cfg.nufft_oversamp
+                metric_fn_of(p), ks, cfg.inner_iters, cfg.nufft_oversamp,
+                nufft_chunk=cfg.nufft_chunk,
             )
             out = jnp.abs(ifft2c(yp_ks))[None, None] * 1e4
             tgt = gt_img[None, None] * 1e4

@@ -73,6 +73,7 @@ def main():
             image_inr=ImageINRConfig(encoding="lattice"),
             motion_inr=MotionINRConfig(encoding="lattice"),
             motion_disp_px=30,
+            warp_impl=os.environ.get("E2E_WARP", "pallas_tiled"),
         )
         corpus = _synthetic_corpus(n, 320, scenario, seed=2024)
         metrics = run_immoco_batched(

@@ -187,3 +187,27 @@ def test_nufft_matmul_mode_matches_scatter(rng):
     g_m = jax.grad(lambda v: loss(v, "matmul"))(vals)
     np.testing.assert_allclose(np.asarray(g_m), np.asarray(g_s),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_nufft_adjoint_chunked_matches_unchunked():
+    """Chunked matmul gridding (peak-memory control for AF+ training) must
+    reproduce the unchunked matmul path exactly."""
+    import jax
+
+    rng = np.random.default_rng(3)
+    npts = 64 * 64
+    values = jnp.asarray(
+        (rng.standard_normal(npts) + 1j * rng.standard_normal(npts)).astype(
+            np.complex64
+        )
+    )
+    coord = jnp.asarray(
+        rng.uniform(-30, 30, (npts, 2)).astype(np.float32)
+    )
+    a = nufft_adjoint(values, coord, (64, 64), oversamp=5, mode="matmul")
+    b = nufft_adjoint(
+        values, coord, (64, 64), oversamp=5, mode="matmul", chunk=512
+    )
+    np.testing.assert_allclose(
+        np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4
+    )
