@@ -1,4 +1,10 @@
-"""Pallas TPU kernel: fused one-hot bilinear warp (forward).
+"""Pallas TPU kernel: fused one-hot bilinear warp (forward). SUPERSEDED.
+
+Superseded by ops/warp_tiled_pallas.py (warp_impl="pallas_tiled"): this
+dense-K forward still crashes the remote Mosaic backend (its lane-splitting
+(n, W*C) -> (n, W, C) reshape), works only in interpret mode, and has no
+FLOP advantage over the tiled kernels.  Kept as the minimal reference
+implementation of the one-hot-in-kernel idea.
 
 The XLA matmul warp (ops/warp_mm.py) materializes the one-hot interpolation
 matrices and the intermediate ``rows`` tensor through HBM (~0.8 GB of
