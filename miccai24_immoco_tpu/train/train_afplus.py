@@ -121,6 +121,13 @@ def make_afplus_trainer(
 ):
     h, w = image_shape
     opt = optax.chain(
+        # Stability guard (divergence from the reference, which has none:
+        # train_afplus_original.py:213-218): the outer gradient
+        # differentiates through 30 chained inner-Adam rsqrt updates and
+        # occasionally yields NaN for a sample; without zeroing, one bad
+        # sample poisons the accumulated update and the whole run (observed
+        # at 320^2: first NaN within 30 steps).
+        optax.zero_nans(),
         optax.clip_by_global_norm(cfg.clip_norm),
         optax.adam(
             optax.cosine_decay_schedule(
