@@ -17,8 +17,20 @@ def save(path: str, tree: Any, metadata: Optional[Dict] = None) -> None:
 
     path = os.path.abspath(path)
     ckpt = ocp.StandardCheckpointer()
-    ckpt.save(path, tree)
+    # Overwrite semantics (periodic checkpointing of long runs): write to a
+    # sibling tmp dir, then atomically swap — orbax refuses existing dirs.
+    tmp = path + ".tmp_save"
+    if os.path.exists(tmp):
+        import shutil
+
+        shutil.rmtree(tmp)
+    ckpt.save(tmp, tree)
     ckpt.wait_until_finished()
+    if os.path.exists(path):
+        import shutil
+
+        shutil.rmtree(path)
+    os.replace(tmp, path)
     if metadata is not None:
         with open(os.path.join(path, "immoco_meta.json"), "w") as f:
             json.dump(metadata, f)
