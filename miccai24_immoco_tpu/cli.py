@@ -307,6 +307,8 @@ def cmd_train_afplus(args):
     key = jax.random.PRNGKey(cfg.seed)
     key, ik = jax.random.split(key)
     params, opt_state = init_fn(ik)
+    if args.resume:
+        params = _load_ckpt(args.resume)  # fresh optimizer state
     n = train.shape[0]
     for i in range(args.steps):
         key, sk = jax.random.split(key)

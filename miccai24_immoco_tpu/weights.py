@@ -30,6 +30,14 @@ REGISTRY: Dict[str, str] = {
     # `cli train-denoiser --synthetic 200 --size 320 --steps 10000` to
     # reproduce: 10k single-sample steps of the reference recipe).
     "denoiser_full": os.path.join(_ROOT, "artifacts", "denoiser_full"),
+    # AF+ metric U-Net, scaled bilevel training run (600 steps of the
+    # 30-iteration unrolled recipe at 320^2 on one v5e; the full reference
+    # recipe is 10000 steps = ~22 h on this chip — rerun
+    # `cli train-afplus --synthetic 40 --size 320 --steps 10000` given the
+    # budget). Trained on the TPU build machine; not committed.
+    "afplus_scaled": os.path.join(
+        _ROOT, "artifacts", "afplus_full", "afplus_scaled"
+    ),
 }
 
 
