@@ -75,7 +75,7 @@ def main():
         motion_inr=MotionINRConfig(encoding="lattice"),
         warp_band_px=band,
         motion_disp_px=disp_cap if disp_cap > 0 else None,
-        compute_dtype=os.environ.get("BENCH_DTYPE", "float32"),
+        compute_dtype=os.environ.get("BENCH_DTYPE", "bfloat16"),
         kspace_op=os.environ.get("BENCH_KOP", "fft"),
         warp_tile_px=int(os.environ.get("BENCH_TILE", "0")),
         warp_impl=os.environ.get("BENCH_WARP", "pallas_tiled"),
