@@ -36,6 +36,14 @@ def _load_ckpt(path):
     return ckpt.restore(os.path.abspath(path))
 
 
+def _unwrap_params(tree):
+    """Accept both legacy params-only checkpoints and full train-state
+    checkpoints ({"params", "opt_state"}) wherever only params are needed."""
+    if isinstance(tree, dict) and "params" in tree and "opt_state" in tree:
+        return tree["params"]
+    return tree
+
+
 def _save_ckpt(path, tree):
     import orbax.checkpoint as ocp
 
@@ -296,9 +304,9 @@ def cmd_train_afplus(args):
 
     train, _ = _train_kspace_stacks(args)
     h, w = train.shape[-2:]
-    net = build_unet(UnetConfig(in_chans=1, out_chans=1, chans=32,
-                                num_pool_layers=6, norm="instance"))
-    cfg = AFPlusTrainConfig(steps=args.steps)
+    net = build_unet(UnetConfig(in_chans=1, out_chans=1, chans=args.chans,
+                                num_pool_layers=args.pools, norm="instance"))
+    cfg = AFPlusTrainConfig(steps=args.steps, inner_iters=args.inner_iters)
     init_fn, train_step, _ = make_afplus_trainer(net, cfg, image_shape=(h, w))
     log_fn = _make_log_fn(
         "MICCAI_MoCo", "AFPlus",
@@ -307,10 +315,32 @@ def cmd_train_afplus(args):
     key = jax.random.PRNGKey(cfg.seed)
     key, ik = jax.random.split(key)
     params, opt_state = init_fn(ik)
+    start = 0
     if args.resume:
-        params = _load_ckpt(args.resume)  # fresh optimizer state
+        from miccai24_immoco_tpu.utils.checkpoint import restore_with_meta
+
+        try:
+            # Full resume: params + optimizer state (Adam moments AND the
+            # schedule step count living inside it) + step counter, so the
+            # cosine decay continues where it left off instead of jumping
+            # back to peak LR on a partially trained net.
+            tree, meta = restore_with_meta(
+                args.resume,
+                target={"params": params, "opt_state": opt_state},
+            )
+            params, opt_state = tree["params"], tree["opt_state"]
+            start = int(meta.get("step", 0))
+            key = jax.random.fold_in(key, start)
+        except Exception:
+            # Legacy params-only checkpoint: warm start, fresh schedule.
+            params = _unwrap_params(_load_ckpt(args.resume))
     n = train.shape[0]
-    for i in range(args.steps):
+
+    def _ckpt(step):
+        save(args.out, {"params": params, "opt_state": opt_state},
+             metadata={"step": step})
+
+    for i in range(start, args.steps):
         key, sk = jax.random.split(key)
         params, opt_state, loss = train_step(
             params, opt_state, sk, train[i % n]
@@ -318,8 +348,8 @@ def cmd_train_afplus(args):
         if i % 10 == 0:
             log_fn(i, {"loss": float(loss)})
         if i and i % 100 == 0:
-            save(args.out, params)  # periodic: long runs survive preemption
-    save(args.out, params)
+            _ckpt(i + 1)  # periodic: long runs survive preemption
+    _ckpt(args.steps)
     print(f"saved {args.out}")
 
 
@@ -332,9 +362,9 @@ def cmd_eval_afplus(args):
     from miccai24_immoco_tpu.models.unet import build_unet
     from miccai24_immoco_tpu.config import UnetConfig
 
-    net = build_unet(UnetConfig(in_chans=1, out_chans=1, chans=32,
-                                num_pool_layers=6, norm="instance"))
-    params = _load_ckpt(args.ckpt)
+    net = build_unet(UnetConfig(in_chans=1, out_chans=1, chans=args.chans,
+                                num_pool_layers=args.pools, norm="instance"))
+    params = _unwrap_params(_load_ckpt(args.ckpt))
 
     def metric_fn(img):
         return net.apply({"params": params}, img[None, :, :, None],
@@ -496,12 +526,17 @@ def build_parser() -> argparse.ArgumentParser:
 
     t = sub.add_parser("train-afplus")
     common_train(t)
+    t.add_argument("--inner-iters", type=int, default=30)
+    t.add_argument("--chans", type=int, default=32)
+    t.add_argument("--pools", type=int, default=6)
     t.set_defaults(fn=cmd_train_afplus)
 
     e = sub.add_parser("eval-afplus")
     common_eval(e)
     e.add_argument("--ckpt", required=True)
     e.add_argument("--iters", type=int, default=80)
+    e.add_argument("--chans", type=int, default=32)
+    e.add_argument("--pools", type=int, default=6)
     e.set_defaults(fn=cmd_eval_afplus)
 
     e = sub.add_parser("paper-figure")

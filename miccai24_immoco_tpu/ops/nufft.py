@@ -226,13 +226,26 @@ def nufft_adjoint(
     table = kb_kernel_table(n, width, beta)
     ky, kx = c[:, 0], c[:, 1]
 
-    if mode == "matmul" and chunk and values.shape[0] % chunk == 0:
+    if mode == "matmul" and chunk:
         # Chunked gridding: the full per-axis KB one-hot matrices are
         # (N, os_grid) f32 — 625 MB each at 320^2 x oversamp 5 — which blows
         # HBM inside the AF+ bilevel training unroll (each inner iteration's
         # forward + inner gradient holds several at once).  Accumulating the
         # grid over point chunks keeps peak memory at the chunk size with
         # identical math and MXU-bound matmuls (K = chunk stays large).
+        # Non-divisible point counts are zero-value padded to a chunk
+        # multiple (padded points contribute v=0 to the accumulation), so the
+        # peak-memory control holds for every npts — previously this case
+        # silently fell through to the unchunked path and OOMed at exactly
+        # the scales chunking exists for.
+        npts = values.shape[0]
+        pad = (-npts) % chunk
+        if pad:
+            ky = jnp.concatenate([ky, jnp.zeros((pad,), ky.dtype)])
+            kx = jnp.concatenate([kx, jnp.zeros((pad,), kx.dtype)])
+            values = jnp.concatenate(
+                [values, jnp.zeros((pad,), values.dtype)]
+            )
         nc = values.shape[0] // chunk
 
         @jax.checkpoint

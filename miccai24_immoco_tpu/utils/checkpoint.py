@@ -26,22 +26,49 @@ def save(path: str, tree: Any, metadata: Optional[Dict] = None) -> None:
         shutil.rmtree(tmp)
     ckpt.save(tmp, tree)
     ckpt.wait_until_finished()
-    if os.path.exists(path):
+    # Swap order guarantees a valid checkpoint exists at every instant: move
+    # the old one ASIDE (not away) before the tmp takes its place, so a crash
+    # mid-swap leaves either path or path+'.old_save' restorable.
+    old = path + ".old_save"
+    if os.path.exists(old):
         import shutil
 
-        shutil.rmtree(path)
+        shutil.rmtree(old)
+    if os.path.exists(path):
+        os.replace(path, old)
     os.replace(tmp, path)
+    if os.path.exists(old):
+        import shutil
+
+        shutil.rmtree(old)
     if metadata is not None:
         with open(os.path.join(path, "immoco_meta.json"), "w") as f:
             json.dump(metadata, f)
 
 
-def restore(path: str) -> Any:
+def restore(path: str, target: Any = None) -> Any:
+    """Restore a checkpoint; ``target`` (a pytree of arrays or
+    ShapeDtypeStructs) pins the result's structure — required when the saved
+    tree contains tuples/namedtuples (e.g. optax states), which orbax
+    otherwise returns as plain nested containers in storage order."""
     import jax
     import orbax.checkpoint as ocp
 
     ckpt = ocp.StandardCheckpointer()
     path = os.path.abspath(path)
+    if not os.path.exists(path) and os.path.exists(path + ".old_save"):
+        # A crash between save()'s two os.replace calls leaves only the
+        # set-aside previous checkpoint; restore that.
+        path = path + ".old_save"
+    if target is not None:
+        sharding = jax.sharding.SingleDeviceSharding(jax.devices()[0])
+        abstract = jax.tree.map(
+            lambda x: jax.ShapeDtypeStruct(
+                jax.numpy.shape(x), x.dtype, sharding=sharding
+            ),
+            target,
+        )
+        return ckpt.restore(path, abstract)
     try:
         return ckpt.restore(path)
     except ValueError:
@@ -60,8 +87,8 @@ def restore(path: str) -> Any:
         return ckpt.restore(path, target)
 
 
-def restore_with_meta(path: str) -> Tuple[Any, Dict]:
-    tree = restore(path)
+def restore_with_meta(path: str, target: Any = None) -> Tuple[Any, Dict]:
+    tree = restore(path, target=target)
     meta_path = os.path.join(os.path.abspath(path), "immoco_meta.json")
     meta = {}
     if os.path.exists(meta_path):

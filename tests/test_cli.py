@@ -73,6 +73,33 @@ def test_cli_eval_immoco_synthetic(tmp_path, capsys):
     assert os.path.exists(tmp_path / "results" / "immoco.tex")
 
 
+def test_cli_train_afplus_resume_continues_schedule(tmp_path, capsys):
+    """--resume restores opt_state + step: the run continues rather than
+    warm-starting a fresh schedule (ADVICE round 1)."""
+    from miccai24_immoco_tpu.utils.checkpoint import restore_with_meta
+
+    ckpt = str(tmp_path / "afplus_ckpt")
+    base = ["train-afplus", "--synthetic", "2", "--size", "24",
+            "--inner-iters", "2", "--chans", "4", "--pools", "2",
+            "--out", ckpt]
+    main(base + ["--steps", "2"])
+    tree, meta = restore_with_meta(ckpt)
+    assert meta["step"] == 2
+    assert "params" in tree and "opt_state" in tree
+    # Adam's step count lives in opt_state; after a full save it is 2.
+    counts = [x for x in __import__("jax").tree.leaves(tree["opt_state"])
+              if np.asarray(x).size == 1]
+    assert any(int(np.asarray(c).reshape(())) == 2 for c in counts)
+
+    main(base + ["--steps", "4", "--resume", ckpt])
+    tree2, meta2 = restore_with_meta(ckpt)
+    assert meta2["step"] == 4
+    counts2 = [x for x in __import__("jax").tree.leaves(tree2["opt_state"])
+               if np.asarray(x).size == 1]
+    assert any(int(np.asarray(c).reshape(())) == 4 for c in counts2)
+    capsys.readouterr()
+
+
 def test_cli_eval_downstream_synthetic(capsys):
     main(
         [

@@ -211,3 +211,11 @@ def test_nufft_adjoint_chunked_matches_unchunked():
     np.testing.assert_allclose(
         np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4
     )
+    # Non-divisible chunk sizes are zero-padded, NOT silently unchunked
+    # (ADVICE round 1): same result, chunking preserved for any npts.
+    c = nufft_adjoint(
+        values, coord, (64, 64), oversamp=5, mode="matmul", chunk=500
+    )
+    np.testing.assert_allclose(
+        np.asarray(a), np.asarray(c), rtol=1e-4, atol=1e-4
+    )
