@@ -91,6 +91,11 @@ class IMMoCoModel:
         return {"image": self.image_inr.init(k1), "motion": self.motion_inr.init(k2)}
 
     def predict_image(self, params, statics) -> jnp.ndarray:
+        if self.image_inr.apply_cf is not None:
+            # Channel-first: (2, H, W) -> complex with no trailing-dim-2
+            # full-size intermediate (TPU lane padding; see apply_mlp_cf).
+            pair = self.image_inr.apply_cf(params["image"], statics["image"])
+            return jax.lax.complex(pair[0], pair[1])
         pair = self.image_inr.apply(params["image"], statics["image"])
         return jax.lax.complex(pair[..., 0], pair[..., 1])
 
@@ -101,20 +106,48 @@ class IMMoCoModel:
         """
         image = self.predict_image(params, statics)
 
-        disp = jnp.tanh(self.motion_inr.apply(params["motion"], statics["motion"]))
-        if self.cfg.motion_disp_px is not None:
-            # Bounded displacement: +-motion_disp_px pixels instead of the
-            # full +-1 normalized range (banded-warp prerequisite; protocol
-            # motions stay well inside the bound).
-            scale = jnp.asarray(
-                [
-                    2.0 * self.cfg.motion_disp_px / self.width,
-                    2.0 * self.cfg.motion_disp_px / self.height,
-                ],
-                jnp.float32,
+        cf = self.motion_inr.apply_cf is not None
+        if cf:
+            # Channel-first motion path: every full-size intermediate is a
+            # wide (M, H, W) plane — no (..., 2) trailing dims anywhere.
+            disp_cf = jnp.tanh(
+                self.motion_inr.apply_cf(params["motion"], statics["motion"])
+            )  # (2, M, H, W): channel 0 = x, 1 = y (as grids[..., 0/1])
+            if self.cfg.motion_disp_px is not None:
+                scale_cf = jnp.asarray(
+                    [
+                        2.0 * self.cfg.motion_disp_px / self.width,
+                        2.0 * self.cfg.motion_disp_px / self.height,
+                    ],
+                    jnp.float32,
+                ).reshape(2, 1, 1, 1)
+                disp_cf = disp_cf * scale_cf
+            grids_cf = disp_cf + statics["id_grid_cf"][:, None]
+            gx, gy = grids_cf[0], grids_cf[1]
+            grids = None
+        else:
+            disp = jnp.tanh(
+                self.motion_inr.apply(params["motion"], statics["motion"])
             )
-            disp = disp * scale
-        grids = disp + statics["id_grid"][None]
+            if self.cfg.motion_disp_px is not None:
+                # Bounded displacement: +-motion_disp_px pixels instead of
+                # the full +-1 normalized range (banded-warp prerequisite;
+                # protocol motions stay well inside the bound).
+                scale = jnp.asarray(
+                    [
+                        2.0 * self.cfg.motion_disp_px / self.width,
+                        2.0 * self.cfg.motion_disp_px / self.height,
+                    ],
+                    jnp.float32,
+                )
+                disp = disp * scale
+            grids = disp + statics["id_grid"][None]
+
+        def _grids_cl():
+            # Channel-last grids for warp impls without a planes entry.
+            if grids is not None:
+                return grids
+            return jnp.stack([gx, gy], axis=-1)
 
         m = masks.shape[0]
         if self.cfg.warp_impl == "matmul":
@@ -122,7 +155,7 @@ class IMMoCoModel:
             # semantics to grid_sample(bilinear, zeros, align_corners=False)
             # with a scatter-free backward (ops/warp_mm.py).
             motion_images = bilinear_sample_mm(
-                image, grids, align_corners=False,
+                image, _grids_cl(), align_corners=False,
                 band_px=self.cfg.warp_band_px,
                 tile_px=self.cfg.warp_tile_px,
             )
@@ -142,23 +175,32 @@ class IMMoCoModel:
                     f"{self.cfg.motion_disp_px}); the window only covers "
                     "displacements within that bound"
                 )
-            motion_images = bilinear_sample_tiled_pallas(
-                image, grids, align_corners=False, tile_px=tile
-            )
+            if cf:
+                from miccai24_immoco_tpu.ops.warp_tiled_pallas import (
+                    bilinear_sample_tiled_pallas_planes,
+                )
+
+                motion_images = bilinear_sample_tiled_pallas_planes(
+                    image, gy, gx, align_corners=False, tile_px=tile
+                )
+            else:
+                motion_images = bilinear_sample_tiled_pallas(
+                    image, grids, align_corners=False, tile_px=tile
+                )
         elif self.cfg.warp_impl == "pallas":
             from miccai24_immoco_tpu.ops.warp_pallas import (
                 bilinear_sample_pallas,
             )
 
             motion_images = bilinear_sample_pallas(
-                image, grids, align_corners=False
+                image, _grids_cl(), align_corners=False
             )
         else:
             motion_images = grid_sample(
                 jnp.broadcast_to(
                     image[None, None], (m, 1, self.height, self.width)
                 ),
-                grids,
+                _grids_cl(),
                 mode="bilinear",
                 padding_mode="zeros",
                 align_corners=False,
@@ -182,12 +224,15 @@ def build_immoco(cfg: InstanceFitConfig, height: int, width: int) -> IMMoCoModel
     motion_inr = build_inr(
         cfg.motion_inr, (cfg.max_movements, height, width), compute_dtype=dtype
     )
+    id_grid = jax.jit(identity_grid, static_argnums=(0, 1))(
+        (height, width), True
+    )
     statics = {
         "image": image_inr.statics,
         "motion": motion_inr.statics,
-        "id_grid": jax.jit(identity_grid, static_argnums=(0, 1))(
-            (height, width), True
-        ),
+        "id_grid": id_grid,
+        # Channel-first planes (2, H, W) for the cf motion path.
+        "id_grid_cf": jax.jit(lambda g: jnp.moveaxis(g, -1, 0))(id_grid),
     }
     if cfg.kspace_op == "dft_mm":
         statics["dft"] = centered_dft_statics(height, width)
@@ -203,6 +248,8 @@ def build_immoco(cfg: InstanceFitConfig, height: int, width: int) -> IMMoCoModel
 
 def make_instance_fit(
     model: IMMoCoModel,
+    constrain_params: Optional[Callable] = None,
+    constrain_masks: Optional[Callable] = None,
 ) -> Callable[[jnp.ndarray, jnp.ndarray, jax.Array], FitResult]:
     """Build the jittable single-slice fit:
     (kspace, masks, key, statics) -> FitResult.
@@ -210,16 +257,28 @@ def make_instance_fit(
     kspace: (H, W) complex64 corrupted k-space.
     masks:  (max_movements, H, W) float32 zero-padded movement-group masks.
     statics: model.statics, threaded as an argument (jit-friendly).
+
+    constrain_params / constrain_masks: optional GSPMD sharding-constraint
+    hooks (see parallel/sharded_fit.tp_constraints) applied to the INR
+    parameters (at init and after every optimizer update, so the layout is
+    stable across the scan) and to the movement-group masks.  They implement
+    tensor parallelism over the movement axis: with masks and the Motion
+    INR's movement-leading lattice grids sharded over tp, GSPMD partitions
+    the per-movement warp matmuls + FFTs and inserts one psum for the
+    mask-composed k-space sum.
     """
     cfg = model.cfg
     lambdas = jnp.asarray(lambda_schedule(cfg))
     opt = optax.adam(cfg.learning_rate, b1=cfg.b1, b2=cfg.b2, eps=cfg.eps)
+    cp = constrain_params or (lambda p: p)
+    cm = constrain_masks or (lambda m: m)
 
     def fit(kspace, masks, key, statics) -> FitResult:
         scale = jnp.abs(kspace).max()
         k_in = kspace / scale * cfg.kspace_scale
+        masks = cm(masks)
 
-        params = model.init(key)
+        params = cp(model.init(key))
         opt_state = opt.init(params)
 
         def loss_fn(p, lam):
@@ -230,7 +289,7 @@ def make_instance_fit(
             p, s = carry
             loss, grads = jax.value_and_grad(loss_fn)(p, lam)
             updates, s = opt.update(grads, s)
-            p = optax.apply_updates(p, updates)
+            p = cp(optax.apply_updates(p, updates))
             return (p, s), loss
 
         (params, _), losses = jax.lax.scan(step, (params, opt_state), lambdas)

@@ -72,6 +72,32 @@ def apply_mlp(params, x: jnp.ndarray, cfg: MLPConfig, compute_dtype=jnp.float32)
     return h.astype(jnp.float32)
 
 
+def apply_mlp_cf(params, x: jnp.ndarray, cfg: MLPConfig, compute_dtype=jnp.float32):
+    """Channel-FIRST MLP: x (in_dim, ...) -> (out_features, ...).
+
+    Every layer contracts the leading feature axis (dot_general), so all
+    full-lattice intermediates keep wide spatial trailing dims — on TPU the
+    channel-last variant's narrow trailing dims (2/8 features vs the 128-wide
+    lane tile) lane-pad every elementwise op and relayout up to 64x.
+    Same math as apply_mlp (transposed weights feed the same matmuls).
+    """
+    act = jax.nn.relu if cfg.activation == "relu" else jnp.tanh
+    h = x.astype(compute_dtype)
+    n_layers = len(params["layers"])
+    for i, layer in enumerate(params["layers"]):
+        w = layer["w"].astype(compute_dtype)  # (d_in, d_out)
+        # (d_out, ...) = contract d_in of w against leading axis of h.
+        h = jax.lax.dot_general(
+            w,
+            h,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + layer["b"].reshape((-1,) + (1,) * (h.ndim - 1))
+        if i < n_layers - 1:
+            h = act(h).astype(compute_dtype)
+    return h.astype(jnp.float32)
+
+
 @dataclasses.dataclass(frozen=True)
 class INRSpec:
     """A compiled-shape INR bound to a fixed query lattice.
@@ -88,6 +114,10 @@ class INRSpec:
     statics: Any
     feature_width: int
     lattice_shape: Tuple[int, ...]
+    # Channel-first evaluation: (params, statics) -> (out_features,
+    # *lattice_shape).  Present for the lattice encoding (the TPU hot path);
+    # None for encodings without a cf implementation.
+    apply_cf: Any = None
 
 
 def _lattice_coords(lattice_shape: Sequence[int]) -> jnp.ndarray:
@@ -107,6 +137,7 @@ def build_inr(inr_cfg, lattice_shape, compute_dtype=jnp.float32) -> INRSpec:
     """Construct an INR spec from an ImageINRConfig / MotionINRConfig."""
     lattice_shape = tuple(int(s) for s in lattice_shape)
     mlp_cfg: MLPConfig = inr_cfg.mlp
+    apply_cf = None
 
     if inr_cfg.encoding == "hash":
         dims = len(lattice_shape)
@@ -147,8 +178,9 @@ def build_inr(inr_cfg, lattice_shape, compute_dtype=jnp.float32) -> INRSpec:
 
     elif inr_cfg.encoding == "lattice":
         plan = lattice.lattice_plan(inr_cfg.lattice, lattice_shape)
+        plan_cf = lattice.lattice_plan_cf(inr_cfg.lattice, lattice_shape)
         width = lattice.feature_width(inr_cfg.lattice, lattice_shape)
-        statics = {"plan": plan}
+        statics = {"plan": plan, "plan_cf": plan_cf}
 
         def init(key):
             k_enc, k_mlp = jax.random.split(key)
@@ -163,6 +195,14 @@ def build_inr(inr_cfg, lattice_shape, compute_dtype=jnp.float32) -> INRSpec:
             feats = lattice.lattice_encode(params["enc"], statics["plan"])
             return apply_mlp(params["mlp"], feats, mlp_cfg, compute_dtype)
 
+        def _apply_cf(params, statics):
+            feats = lattice.lattice_encode_cf(
+                params["enc"], statics["plan_cf"]
+            )
+            return apply_mlp_cf(params["mlp"], feats, mlp_cfg, compute_dtype)
+
+        apply_cf = _apply_cf
+
     else:
         raise ValueError(f"unknown encoding: {inr_cfg.encoding!r}")
 
@@ -172,4 +212,5 @@ def build_inr(inr_cfg, lattice_shape, compute_dtype=jnp.float32) -> INRSpec:
         statics=statics,
         feature_width=width,
         lattice_shape=lattice_shape,
+        apply_cf=apply_cf,
     )

@@ -69,9 +69,12 @@ def init_lattice_params(key, cfg: LatticeEncodingConfig, lattice_shape):
     )
     fine_feats = None
     if fine > 0:
+        # Stored channel-FIRST (fine, *lattice): the hot (TPU) encode path is
+        # channel-first and these are full-lattice-sized — storing them in the
+        # consumed layout avoids a full-size transpose every fit iteration.
         fine_feats = jax.random.uniform(
             keys[-1],
-            (*lattice_shape, fine),
+            (fine, *lattice_shape),
             minval=-cfg.init_scale,
             maxval=cfg.init_scale,
             dtype=jnp.float32,
@@ -119,6 +122,78 @@ def lattice_plan(cfg: LatticeEncodingConfig, lattice_shape):
     return tuple(plan)
 
 
+def _is_identity(a: np.ndarray) -> bool:
+    return a.shape[0] == a.shape[1] and bool(
+        np.array_equal(a, np.eye(a.shape[0], dtype=a.dtype))
+    )
+
+
+def lattice_plan_cf(cfg: LatticeEncodingConfig, lattice_shape):
+    """Channel-first plan: identity interpolation matrices (axes whose level
+    resolution equals the lattice extent — e.g. the movement axis of the
+    Motion INR at every level, or the finest image levels) are stored as
+    ``None`` so evaluation skips their no-op contraction entirely."""
+    shapes, _ = plan_levels(cfg, lattice_shape)
+    plan = []
+    for shape in shapes:
+        mats = []
+        contracted = False
+        for n_out, r in zip(lattice_shape, shape):
+            a = _interp_matrix(n_out, r)
+            # Identity skips are only safe as a PREFIX (before the first
+            # contraction): contracted outputs append at the end of the dim
+            # order, so a skipped axis after a contracted one would land out
+            # of order.  All IM-MoCo lattices (movement axis first, finest
+            # image levels fully identity) hit the prefix case.
+            if not contracted and _is_identity(a):
+                mats.append(None)
+            else:
+                mats.append(jnp.asarray(a))
+                contracted = True
+        plan.append(tuple(mats))
+    return tuple(plan)
+
+
+def _eval_level_cf(grid: jnp.ndarray, mats) -> jnp.ndarray:
+    """Channel-FIRST separable resample: (r1..rd, F) level grid ->
+    (F, n1..nd) lattice features.
+
+    TPU rationale: the channel-last path's per-axis ``moveaxis`` chains and
+    its narrow trailing feature dim (F=2) force lane-padded relayouts of
+    full-lattice intermediates on every fit iteration.  Here the feature axis
+    is moved up front while the grid is still small, every contraction is a
+    single ``dot_general`` whose appended output dim lands in original axis
+    order, and all full-size intermediates keep wide trailing dims.
+    """
+    # Feature axis to the front while the tensor is small.
+    g = jnp.moveaxis(grid, -1, 0)
+    p = 1  # position in g of the next original lattice axis
+    for a in mats:
+        if a is None:  # identity: leave the axis in place
+            p += 1
+            continue
+        # Contract g axis p against a's node axis; output (n_out) appends
+        # at the end, preserving original axis order across the loop.
+        g = jax.lax.dot_general(
+            g, a, dimension_numbers=(((p,), (1,)), ((), ()))
+        )
+    return g
+
+
+def lattice_encode_cf(params, plan_cf) -> jnp.ndarray:
+    """Evaluate all levels channel-first: (F_total, *lattice_shape).
+
+    ``params['fine']`` is stored channel-first (see init_lattice_params).
+    """
+    outs = [
+        _eval_level_cf(g, mats)
+        for g, mats in zip(params["levels"], plan_cf)
+    ]
+    if params["fine"] is not None:
+        outs.append(params["fine"])
+    return jnp.concatenate(outs, axis=0)
+
+
 def _eval_level(grid: jnp.ndarray, mats) -> jnp.ndarray:
     """Resample (r1, ..., rd, F) level grid to the full lattice via separable
     matmuls: out[i1..id, f] = sum A1[i1,r1] ... Ad[id,rd] grid[r1..rd, f]."""
@@ -143,5 +218,6 @@ def lattice_encode(params, plan) -> jnp.ndarray:
     """
     outs = [_eval_level(g, mats) for g, mats in zip(params["levels"], plan)]
     if params["fine"] is not None:
-        outs.append(params["fine"])
+        # Fine features are stored channel-first (see init_lattice_params).
+        outs.append(jnp.moveaxis(params["fine"], 0, -1))
     return jnp.concatenate(outs, axis=-1)

@@ -296,6 +296,33 @@ def bilinear_sample_tiled_pallas(
         raise ValueError(f"({ho},{wo}) not divisible by tile_px={tile_px}")
     if h < 2 * tile_px or w < 2 * tile_px:
         raise ValueError(f"image smaller than window 2*tile_px={2*tile_px}")
+    return bilinear_sample_tiled_pallas_planes(
+        image,
+        grids[..., 1],
+        grids[..., 0],
+        align_corners=align_corners,
+        tile_px=tile_px,
+        interpret=interpret,
+    )
+
+
+def bilinear_sample_tiled_pallas_planes(
+    image: jnp.ndarray,
+    gy_n: jnp.ndarray,
+    gx_n: jnp.ndarray,
+    align_corners: bool = False,
+    tile_px: int = 64,
+    interpret: bool | None = None,
+) -> jnp.ndarray:
+    """Planes entry: normalized sampling coordinates as separate (M, Ho, Wo)
+    y/x planes — the channel-first model path feeds these directly, so no
+    (..., 2) trailing-dim array (lane-padded 64x on TPU) is ever built."""
+    h, w = image.shape
+    m, ho, wo = gy_n.shape
+    if ho % tile_px or wo % tile_px:
+        raise ValueError(f"({ho},{wo}) not divisible by tile_px={tile_px}")
+    if h < 2 * tile_px or w < 2 * tile_px:
+        raise ValueError(f"image smaller than window 2*tile_px={2 * tile_px}")
     if interpret is None:
         interpret = _interpret_default()
     if jnp.iscomplexobj(image):
@@ -308,8 +335,8 @@ def bilinear_sample_tiled_pallas(
             return (coord + 1.0) * 0.5 * (size - 1)
         return ((coord + 1.0) * size - 1.0) * 0.5
 
-    gx = unnormalize(grids[..., 0], w)
-    gy = unnormalize(grids[..., 1], h)
+    gx = unnormalize(gx_n, w)
+    gy = unnormalize(gy_n, h)
     out = _warp_tiled(planes, gy, gx, tile_px, interpret)  # (M, Ho, Wo, C)
     if jnp.iscomplexobj(image):
         return jax.lax.complex(out[..., 0], out[..., 1])

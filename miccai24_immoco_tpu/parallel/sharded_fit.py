@@ -7,10 +7,16 @@ one ``vmap``-ed, ``jit``-ed program over a (dp, tp) mesh:
 - dp: the slice batch is sharded across devices; each device runs its
   slices' 200-iteration fits with optimizer state resident in local HBM —
   zero cross-device traffic on this axis.
-- tp: inside every fit, the Image INR's hash tables are sharded over the
-  table axis via sharding constraints; XLA GSPMD inserts the all-gathers
-  over ICI for the encoding gathers and the reduce-scatters for their
-  gradients.
+- tp: inside every fit, the MOVEMENT axis is model-parallel
+  (``tp_constraints``): the movement-group masks, the Motion INR's
+  movement-leading lattice grids (and, for hash encoding, the Image INR's
+  hash tables over the table axis) carry GSPMD sharding constraints, so
+  each tp shard computes its movements' displacement fields, warps and
+  FFTs — the dominant per-iteration FLOPs, which scale linearly in
+  movement count — and XLA inserts one psum for the mask-composed k-space
+  sum plus the matching collectives in the backward.  Constraints are
+  re-applied after every optimizer update so the layout is loop-invariant.
+  Numeric equivalence tp=2 == tp=1 is asserted in tests/test_parallel.py.
 
 This module is exercised on an 8-device virtual CPU mesh in
 tests/test_parallel.py and via __graft_entry__.dryrun_multichip.
@@ -33,24 +39,81 @@ from miccai24_immoco_tpu.models.immoco import (
 )
 
 
-def make_batched_fit(model: IMMoCoModel) -> Callable:
+def make_batched_fit(model: IMMoCoModel, **fit_kwargs) -> Callable:
     """(B,H,W) kspace, (B,M,H,W) masks, (B,2) keys, statics -> FitResult.
 
     statics (model.statics) is shared across the batch (in_axes=None) and
     must be passed as an argument per the statics discipline (models/inr.py).
     """
-    fit = make_instance_fit(model)
+    fit = make_instance_fit(model, **fit_kwargs)
     return jax.vmap(fit, in_axes=(0, 0, 0, None))
 
 
+def tp_constraints(model: IMMoCoModel, mesh: Mesh):
+    """(constrain_params, constrain_masks) GSPMD hooks for movement-axis
+    tensor parallelism (see module docstring).  No-ops when tp == 1.
+
+    Sharded leaves:
+      - masks (M, H, W):                           P('tp', None, None)
+      - Motion INR lattice level grids whose leading (movement) axis spans
+        the full movement count:                   P('tp', ...)
+      - Image INR hash tables (L, T, F), if any:   P(None, 'tp', None)
+        (the table axis is the HBM-scaling axis for volumetric variants)
+    Everything else is left to GSPMD propagation.  Constraints compose with
+    vmap (the slice-batch dim is inserted unconstrained -> dp comes from the
+    jit in_shardings).
+    """
+    if mesh.shape.get("tp", 1) == 1:
+        return None, None
+    m_total = model.cfg.max_movements
+
+    def _constrain_params(params):
+        params = dict(params)
+        motion = dict(params["motion"])
+        enc = dict(motion["enc"])
+        if "levels" in enc:
+            enc["levels"] = tuple(
+                jax.lax.with_sharding_constraint(
+                    g,
+                    NamedSharding(
+                        mesh, P("tp", *([None] * (g.ndim - 1)))
+                    ),
+                )
+                if g.shape[0] == m_total
+                else g
+                for g in enc["levels"]
+            )
+        motion["enc"] = enc
+        params["motion"] = motion
+        image = dict(params["image"])
+        ienc = image.get("enc")
+        if isinstance(ienc, jnp.ndarray) and ienc.ndim == 3:
+            image["enc"] = jax.lax.with_sharding_constraint(
+                ienc, NamedSharding(mesh, P(None, "tp", None))
+            )
+            params["image"] = image
+        return params
+
+    def _constrain_masks(masks):
+        return jax.lax.with_sharding_constraint(
+            masks, NamedSharding(mesh, P("tp", None, None))
+        )
+
+    return _constrain_params, _constrain_masks
+
+
 def make_sharded_fit(model: IMMoCoModel, mesh: Mesh) -> Callable:
-    """Batched fit with explicit dp sharding over the mesh.
+    """Batched fit with explicit dp sharding (and movement-axis tp via
+    ``tp_constraints``) over the mesh.
 
     The batch must be divisible by the dp axis size.  Inputs may live on
     host or any device; jit re-shards them to the declared shardings.
     statics are replicated across the mesh.
     """
-    vfit = make_batched_fit(model)
+    cp, cm = tp_constraints(model, mesh)
+    vfit = make_batched_fit(
+        model, constrain_params=cp, constrain_masks=cm
+    )
 
     dp3 = NamedSharding(mesh, P("dp", None, None))
     dp4 = NamedSharding(mesh, P("dp", None, None, None))

@@ -87,6 +87,43 @@ def test_lambda_schedule_replicates_reference():
     assert sched[-1] < 1e-25  # prior fully decayed late
 
 
+def test_forward_channel_first_matches_channel_last():
+    """The channel-first INR/motion path (TPU layout optimization) must be
+    numerically equivalent to the channel-last path."""
+    img = synthetic_brain(32, 32)
+    sim = simulate_motion_2d(jax.random.PRNGKey(0), img, n_movements=2)
+    cfg = dataclasses.replace(
+        small_cfg("lattice", "lattice", max_movements=4), motion_disp_px=8
+    )
+    masks, _ = extract_movement_groups(sim.mask[0], 32, 4)
+
+    model_cf = build_immoco(cfg, 32, 32)
+    assert model_cf.image_inr.apply_cf is not None
+    # Disable cf on a clone -> legacy channel-last path with same params.
+    model_cl = dataclasses.replace(
+        model_cf,
+        image_inr=dataclasses.replace(model_cf.image_inr, apply_cf=None),
+        motion_inr=dataclasses.replace(model_cf.motion_inr, apply_cf=None),
+    )
+    params = model_cf.init(jax.random.PRNGKey(1))
+    k_cf, img_cf = jax.jit(model_cf.forward)(params, masks, model_cf.statics)
+    k_cl, img_cl = jax.jit(model_cl.forward)(params, masks, model_cf.statics)
+    np.testing.assert_allclose(
+        np.asarray(img_cf), np.asarray(img_cl), atol=1e-5
+    )
+    np.testing.assert_allclose(np.asarray(k_cf), np.asarray(k_cl), atol=1e-3)
+
+    # Gradients agree too (the fit path differentiates forward).
+    def loss(m, p):
+        k, im = m.forward(p, masks, model_cf.statics)
+        return jnp.abs(k).sum() + jnp.abs(im).sum()
+
+    g_cf = jax.grad(lambda p: loss(model_cf, p))(params)
+    g_cl = jax.grad(lambda p: loss(model_cl, p))(params)
+    for a, b in zip(jax.tree.leaves(g_cf), jax.tree.leaves(g_cl)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-3)
+
+
 def test_forward_model_padding_invariance():
     """Extra all-zero mask planes must not change the forward k-space."""
     img = synthetic_brain(32, 32)

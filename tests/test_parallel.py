@@ -92,6 +92,87 @@ def test_sharded_fit_dp_only_mesh():
     assert r.image.shape == ksp.shape
 
 
+def test_tp2_fit_bit_matches_tp1():
+    """Movement-axis tensor parallelism (tp_constraints) must not change the
+    fit numerically: same batch, same keys, tp=2 vs tp=1 mesh."""
+    ksp, masks = _batch()
+    cfg = small_cfg(iters=8)
+    r_tp2 = batched_motion_correct(
+        ksp, masks, cfg, mesh=make_mesh(MeshConfig(dp=4, tp=2))
+    )
+    r_tp1 = batched_motion_correct(
+        ksp, masks, cfg, mesh=make_mesh(MeshConfig(dp=8, tp=1))
+    )
+    np.testing.assert_allclose(
+        np.asarray(r_tp2.losses), np.asarray(r_tp1.losses), rtol=1e-4, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(jnp.abs(r_tp2.image)),
+        np.asarray(jnp.abs(r_tp1.image)),
+        rtol=1e-4,
+        atol=1e-4,
+    )
+
+
+def test_tp2_fit_with_hash_image_inr():
+    """The hash-table tp constraint branch (Image INR enc = (L, T, F) array
+    sharded over the table axis) compiles and matches tp=1."""
+    import dataclasses
+
+    from miccai24_immoco_tpu.config import HashGridConfig, ImageINRConfig, MLPConfig
+
+    ksp, masks = _batch()
+    cfg = dataclasses.replace(
+        small_cfg(iters=4),
+        image_inr=ImageINRConfig(
+            encoding="hash",
+            grid=HashGridConfig(
+                num_levels=4, log2_hashmap_size=8, base_resolution=4
+            ),
+            mlp=MLPConfig(hidden_width=32),
+        ),
+    )
+    r_tp2 = batched_motion_correct(
+        ksp, masks, cfg, mesh=make_mesh(MeshConfig(dp=4, tp=2))
+    )
+    r_tp1 = batched_motion_correct(
+        ksp, masks, cfg, mesh=make_mesh(MeshConfig(dp=8, tp=1))
+    )
+    np.testing.assert_allclose(
+        np.asarray(r_tp2.losses), np.asarray(r_tp1.losses), rtol=1e-4, atol=1e-5
+    )
+
+
+def test_tp_constraints_shard_what_they_claim():
+    """The constraint hooks place the movement axis of masks and the Motion
+    INR level grids (and the hash-table axis) on the tp mesh axis."""
+    from miccai24_immoco_tpu.models.immoco import build_immoco
+    from miccai24_immoco_tpu.parallel.sharded_fit import tp_constraints
+
+    cfg = small_cfg()
+    model = build_immoco(cfg, 16, 16)
+    mesh = make_mesh(MeshConfig(dp=4, tp=2))
+    cp, cm = tp_constraints(model, mesh)
+    assert cp is not None and cm is not None
+
+    masks = jnp.zeros((4, 16, 16), jnp.float32)
+    sharded = jax.jit(cm)(masks)
+    specs = {s.index[0] for s in sharded.addressable_shards}
+    assert len(specs) == 2  # movement axis split in two tp shards
+
+    params = model.init(jax.random.PRNGKey(0))
+    out = jax.jit(cp)(params)
+    lv = out["motion"]["enc"]["levels"][0]
+    assert lv.shape[0] == cfg.max_movements
+    assert len({s.index[0] for s in lv.addressable_shards}) == 2
+
+    # tp=1 mesh -> no-op hooks.
+    assert tp_constraints(model, make_mesh(MeshConfig(dp=8, tp=1))) == (
+        None,
+        None,
+    )
+
+
 def test_tp_hash_encode_matches_single_device():
     from miccai24_immoco_tpu.config import HashGridConfig, MeshConfig
     from miccai24_immoco_tpu.ops import hashgrid
