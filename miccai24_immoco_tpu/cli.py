@@ -191,28 +191,54 @@ def _load_kld(args):
 
 
 def cmd_eval_immoco(args):
+    import time
+
     from miccai24_immoco_tpu.config import InstanceFitConfig
     from miccai24_immoco_tpu.eval.harness import save_report
-    from miccai24_immoco_tpu.eval.runners import run_immoco
+    from miccai24_immoco_tpu.eval.runners import run_immoco, run_immoco_batched
 
     from miccai24_immoco_tpu.eval.harness import comparison_figure
 
     cfg = InstanceFitConfig(iters=args.iters)
     kld = _load_kld(args)
+    buckets = (
+        tuple(int(b) for b in args.buckets.split(",")) if args.buckets else None
+    )
     per_scenario = {}
+    wall = {}
     for scenario in args.scenarios.split(","):
         corpus = _get_corpus(args, scenario)
-        metrics, images = run_immoco(
-            corpus, cfg, kld=kld, limit=args.limit, collect_images=True
-        )
+        t0 = time.perf_counter()
+        if args.per_slice:
+            # Legacy sequential path (one fit per dispatch).
+            metrics, images = run_immoco(
+                corpus, cfg, kld=kld, limit=args.limit, collect_images=True
+            )
+        else:
+            # Default: batched segmented fits with movement bucketing — the
+            # machinery bench.py measures (VERDICT r1 #9).
+            metrics, images = run_immoco_batched(
+                corpus, cfg, kld=kld, limit=args.limit,
+                batch_size=args.batch_size, buckets=buckets,
+                collect_images=True,
+            )
+        wall[scenario] = {
+            "wall_s": round(time.perf_counter() - t0, 3),
+            "s_per_slice": round(
+                (time.perf_counter() - t0) / max(len(metrics), 1), 3
+            ),
+        }
         per_scenario[scenario] = metrics
         if images:
             comparison_figure(
                 images,
                 os.path.join(args.out_dir, f"immoco_{scenario}.png"),
             )
-    save_report(per_scenario, args.out_dir, "immoco")
-    print(json.dumps({s: _agg(m) for s, m in per_scenario.items()}, indent=2))
+    save_report(per_scenario, args.out_dir, "immoco", extra={"wall_clock": wall})
+    print(json.dumps(
+        {s: dict(_agg(m), **wall[s]) for s, m in per_scenario.items()},
+        indent=2,
+    ))
 
 
 def cmd_eval_autofocus(args):
@@ -501,6 +527,12 @@ def build_parser() -> argparse.ArgumentParser:
     e = sub.add_parser("eval-immoco")
     common_eval(e)
     e.add_argument("--iters", type=int, default=200)
+    e.add_argument("--batch-size", type=int, default=4)
+    e.add_argument("--buckets", default="10,16",
+                   help="comma-separated movement buckets (always capped/"
+                        "extended to max_movements); empty = no bucketing")
+    e.add_argument("--per-slice", action="store_true",
+                   help="legacy sequential runner instead of batched")
     e.set_defaults(fn=cmd_eval_immoco)
 
     e = sub.add_parser("eval-autofocus")

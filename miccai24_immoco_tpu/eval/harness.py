@@ -92,18 +92,21 @@ def save_report(
     per_scenario: Dict[str, Sequence[Dict[str, float]]],
     out_dir: str,
     name: str,
+    extra: Optional[Dict] = None,
 ) -> None:
-    """Writes <name>.json (machine-readable), <name>.tex, and violin PNGs."""
+    """Writes <name>.json (machine-readable), <name>.tex, and violin PNGs.
+
+    ``extra``: additional top-level json fields (e.g. wall-clock records).
+    """
     os.makedirs(out_dir, exist_ok=True)
+    payload = {
+        s: {"per_slice": list(ms), "aggregate": aggregate(ms)}
+        for s, ms in per_scenario.items()
+    }
+    if extra:
+        payload.update(extra)
     with open(os.path.join(out_dir, f"{name}.json"), "w") as f:
-        json.dump(
-            {
-                s: {"per_slice": list(ms), "aggregate": aggregate(ms)}
-                for s, ms in per_scenario.items()
-            },
-            f,
-            indent=2,
-        )
+        json.dump(payload, f, indent=2)
     with open(os.path.join(out_dir, f"{name}.tex"), "w") as f:
         f.write(latex_table(per_scenario, f"{name} metrics", name))
     try:

@@ -142,9 +142,25 @@ def run_immoco_batched(
     limit: Optional[int] = None,
     batch_size: int = 8,
     segment_len: int = 20,
+    buckets: Optional[Sequence[int]] = None,
+    collect_images: bool = False,
 ):
     """Batched variant of run_immoco: slices are fitted in vmapped batches
-    (the production throughput mode; parallel/sharded_fit machinery)."""
+    (the production throughput mode; parallel/sharded_fit machinery).
+
+    ``buckets``: optional ascending movement-count bucket sizes (all <=
+    cfg.max_movements).  Each slice is routed to the smallest bucket that
+    holds its detected group count, and one compiled model per bucket
+    processes its slices — the warp/FFT cost of a fit is linear in the
+    movement padding, so e.g. a 7-group light slice in a 10-bucket costs
+    ~40% of the same slice padded to 24 (the reference only ever processes
+    actual groups, src/models/immoco.py:67-80; static-shape XLA pays for
+    padding instead, and bucketing claws that back).  Zero-padded group
+    masks make truncation to any bucket >= the group count exact
+    (tests/test_immoco_fit.py padding invariance).
+    """
+    import dataclasses as _dc
+
     from miccai24_immoco_tpu.parallel.sharded_fit import (
         make_batched_segmented_fit,
     )
@@ -154,8 +170,6 @@ def run_immoco_batched(
     masks_all = corpus.get("mask")
     n = ks_all.shape[0] if limit is None else min(limit, ks_all.shape[0])
     h, w = ks_all.shape[-2:]
-    model = build_immoco(cfg, h, w)
-    run = make_batched_segmented_fit(model, segment_len=segment_len)
     if key is None:
         key = jax.random.PRNGKey(0)
     indicator_fn = _make_indicator_fn(kld)
@@ -163,30 +177,76 @@ def run_immoco_batched(
         lambda ind: extract_movement_groups(ind, h, cfg.max_movements)
     )
 
-    metrics: List[Dict[str, float]] = []
-    for start in range(0, n, batch_size):
-        idx = list(range(start, min(start + batch_size, n)))
-        pad = batch_size - len(idx)
-        idx_padded = idx + [idx[-1]] * pad  # static batch; padded fits dropped
-        ksp = put_complex(ks_all[idx_padded])
-        masks = []
-        for i in idx_padded:
-            ind = _line_indicators(
-                put_complex(ks_all[i]),
-                None if masks_all is None else masks_all[i],
-                kld,
-                indicator_fn,
-            )
-            m, _ = groups(ind)
-            masks.append(m)
-        masks = jnp.stack(masks)
-        key, sub = jax.random.split(key)
-        keys = jax.random.split(sub, batch_size)
-        result = run(ksp, masks, keys, model.statics)
-        for j, i in enumerate(idx):
-            metrics.append(
-                _metrics_dict(result.image[j], put_complex(gt_all[i]))
-            )
+    # Detect masks + group counts for every slice up front (cheap vs fits).
+    slice_masks = []
+    slice_counts = []
+    for i in range(n):
+        ind = _line_indicators(
+            put_complex(ks_all[i]),
+            None if masks_all is None else masks_all[i],
+            kld,
+            indicator_fn,
+        )
+        m, ng = groups(ind)
+        slice_masks.append(m)
+        slice_counts.append(int(ng))
+
+    if buckets:
+        sizes = sorted({min(int(b), cfg.max_movements) for b in buckets})
+        if sizes[-1] < cfg.max_movements:
+            sizes.append(cfg.max_movements)
+    else:
+        sizes = [cfg.max_movements]
+
+    def bucket_of(count):
+        for s in sizes:
+            if count <= s:
+                return s
+        return sizes[-1]
+
+    by_bucket: Dict[int, List[int]] = {}
+    for i, c in enumerate(slice_counts):
+        by_bucket.setdefault(bucket_of(c), []).append(i)
+
+    metrics_by_idx: Dict[int, Dict[str, float]] = {}
+    last_images = None
+    for size in sizes:
+        idxs = by_bucket.get(size)
+        if not idxs:
+            continue
+        bcfg = _dc.replace(cfg, max_movements=size)
+        model = build_immoco(bcfg, h, w)
+        run = make_batched_segmented_fit(model, segment_len=segment_len)
+        for start in range(0, len(idxs), batch_size):
+            idx = idxs[start : start + batch_size]
+            pad = batch_size - len(idx)
+            idx_padded = idx + [idx[-1]] * pad  # padded fits dropped below
+            ksp = put_complex(ks_all[idx_padded])
+            masks = jnp.stack([slice_masks[i][:size] for i in idx_padded])
+            key, sub = jax.random.split(key)
+            keys = jax.random.split(sub, batch_size)
+            result = run(ksp, masks, keys, model.statics)
+            for j, i in enumerate(idx):
+                metrics_by_idx[i] = _metrics_dict(
+                    result.image[j], put_complex(gt_all[i])
+                )
+                if collect_images and i == n - 1:
+                    ksp_i = put_complex(ks_all[i])
+                    last_images = {
+                        "Motion corrupted image": np.abs(
+                            np.asarray(ifft2c(ksp_i).real)
+                        )
+                        + 1j * 0,
+                        "Motion corrected image": np.asarray(
+                            jnp.abs(result.image[j])
+                        ),
+                        "Ground truth image": np.asarray(
+                            jnp.abs(put_complex(gt_all[i]))
+                        ),
+                    }
+    metrics = [metrics_by_idx[i] for i in range(n)]
+    if collect_images:
+        return metrics, last_images
     return metrics
 
 

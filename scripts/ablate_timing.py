@@ -72,30 +72,34 @@ def make_segment(model, variant):
             image = model.predict_image(p, statics)
 
         if variant == "no_motion_inr":
-            disp = jnp.zeros((M, H, W, 2), jnp.float32)
+            disp_cf = jnp.zeros((2, M, H, W), jnp.float32)
         else:
-            disp = jnp.tanh(model.motion_inr.apply(p["motion"], statics["motion"]))
-            scale = jnp.asarray(
-                [2.0 * 30 / W, 2.0 * 30 / H], jnp.float32
+            disp_cf = jnp.tanh(
+                model.motion_inr.apply_cf(p["motion"], statics["motion"])
             )
-            disp = disp * scale
-        grids = disp + statics["id_grid"][None]
+            scale_cf = jnp.asarray(
+                [2.0 * 30 / W, 2.0 * 30 / H], jnp.float32
+            ).reshape(2, 1, 1, 1)
+            disp_cf = disp_cf * scale_cf
+        grids_cf = disp_cf + statics["id_grid_cf"][:, None]
+        gx, gy = grids_cf[0], grids_cf[1]
+        grids = None
 
         if variant == "no_warp":
             motion_images = jnp.broadcast_to(image[None], (M, H, W)) * (
-                1.0 + 0.0 * grids[..., 0]
+                1.0 + 0.0 * gx
             )
         elif os.environ.get("ABL_WARP", "matmul") == "pallas_tiled":
             from miccai24_immoco_tpu.ops.warp_tiled_pallas import (
-                bilinear_sample_tiled_pallas,
+                bilinear_sample_tiled_pallas_planes,
             )
 
-            motion_images = bilinear_sample_tiled_pallas(
-                image, grids, align_corners=False
+            motion_images = bilinear_sample_tiled_pallas_planes(
+                image, gy, gx, align_corners=False
             )
         else:
             motion_images = bilinear_sample_mm(
-                image, grids, align_corners=False
+                image, jnp.stack([gx, gy], axis=-1), align_corners=False
             )
 
         if variant == "no_fft":

@@ -96,3 +96,28 @@ def test_run_immoco_batched_matches_serial(corpus):
     for a, b in zip(serial, batched):
         assert np.isfinite(b["psnr"]) and np.isfinite(b["ssim"])
         assert abs(a["psnr"] - b["psnr"]) < 6.0
+
+
+def test_run_immoco_batched_bucketing_exact(corpus):
+    """Movement bucketing must be numerically invisible: a slice fitted in a
+    bucket >= its group count gives the same result as max_movements padding
+    (zero-padded masks; same per-batch key tree when the split is equal)."""
+    from miccai24_immoco_tpu.eval.runners import run_immoco_batched
+
+    cfg = small_cfg("lattice", "lattice", iters=5, max_movements=4)
+    base = run_immoco_batched(corpus, cfg, limit=2, batch_size=2,
+                              segment_len=3)
+    # Both slices have 2 groups -> both land in the 3-bucket; key split
+    # (one batch either way) is identical, so results must match closely.
+    bucketed = run_immoco_batched(corpus, cfg, limit=2, batch_size=2,
+                                  segment_len=3, buckets=(3,))
+    for a, b in zip(base, bucketed):
+        np.testing.assert_allclose(a["psnr"], b["psnr"], rtol=1e-3)
+        np.testing.assert_allclose(a["ssim"], b["ssim"], rtol=1e-3)
+
+    # collect_images returns the figure triple.
+    metrics, images = run_immoco_batched(
+        corpus, cfg, limit=2, batch_size=2, segment_len=3, buckets=(3,),
+        collect_images=True,
+    )
+    assert images is not None and "Motion corrected image" in images
