@@ -76,9 +76,10 @@ def _synthetic_corpus(n: int, size: int, scenario: str, seed: int = 0):
 def _get_corpus(args, scenario: str):
     from miccai24_immoco_tpu.data.fastmri_io import load_test_corpus
 
-    if args.corpus:
+    corpus_dir = args.corpus or os.environ.get("IMMOCO_CORPUS_DIR")
+    if corpus_dir:
         return load_test_corpus(
-            os.path.join(args.corpus, f"_test_data_{scenario}.npz")
+            os.path.join(corpus_dir, f"_test_data_{scenario}.npz")
         )
     return _synthetic_corpus(args.synthetic, args.size, scenario)
 
@@ -86,7 +87,13 @@ def _get_corpus(args, scenario: str):
 def cmd_prepare_data(args):
     from miccai24_immoco_tpu.data import fastmri_io as io
 
-    paths = io.create_data_split(args.src, args.dst)
+    src = args.src or io.detect_fastmri_mount()
+    if not src:
+        raise SystemExit(
+            "no fastMRI mount found: pass --src or set IMMOCO_FASTMRI_ROOT "
+            f"(probed: {', '.join(io.DEFAULT_MOUNTS)})"
+        )
+    paths = io.create_data_split(src, args.dst)
     print(json.dumps(paths, indent=2))
     for split in ("train", "val"):
         io.preprocess_dataset(
@@ -494,7 +501,8 @@ def build_parser() -> argparse.ArgumentParser:
     sub = p.add_subparsers(dest="cmd", required=True)
 
     d = sub.add_parser("prepare-data")
-    d.add_argument("--src", required=True, help="fastMRI root (train/val/test)")
+    d.add_argument("--src", help="fastMRI root (train/val/test); "
+                   "auto-detected from IMMOCO_FASTMRI_ROOT / known mounts")
     d.add_argument("--dst", required=True)
     d.set_defaults(fn=cmd_prepare_data)
 

@@ -38,6 +38,34 @@ from miccai24_immoco_tpu.ops.motion_sim import simulate_motion_2d
 from miccai24_immoco_tpu.utils.hostio import get_complex, put_complex
 
 
+# Conventional fastMRI mount points probed by detect_fastmri_mount();
+# override/extend with IMMOCO_FASTMRI_ROOT.
+DEFAULT_MOUNTS = (
+    "/data/fastmri",
+    "/mnt/fastmri",
+    "/root/data/fastmri",
+    "Dataset/FastMRI/t2",
+)
+
+
+def detect_fastmri_mount() -> Optional[str]:
+    """First existing fastMRI root (dir containing train/ val/ test/ of .h5
+    volumes): $IMMOCO_FASTMRI_ROOT, then conventional mount points.
+
+    Exists so a real fastMRI mount is a config change, not new code: the day
+    a corpus appears, ``cli prepare-data`` (no --src) and the eval commands
+    (via $IMMOCO_CORPUS_DIR) pick it up.
+    """
+    env = os.environ.get("IMMOCO_FASTMRI_ROOT")
+    for cand in ([env] if env else []) + list(DEFAULT_MOUNTS):
+        if cand and all(
+            os.path.isdir(os.path.join(cand, s))
+            for s in ("train", "val", "test")
+        ):
+            return cand
+    return None
+
+
 def field_strength(h5_file) -> float:
     """Parse systemFieldStrength_T from the ISMRMRD header; snap to 1.5/3.0
     (reference getFieldStrength, prepareData.py:18-25)."""

@@ -118,3 +118,46 @@ def test_preprocess_and_corpus_roundtrip(tmp_path):
     assert all(np.isfinite(m["psnr"]) for m in corpus["metrics"])
     # Masks actually mark corrupted columns.
     assert corpus["mask"].sum() > 0
+
+
+def test_full_real_data_chain_to_eval(tmp_path, monkeypatch):
+    """Real-data readiness (VERDICT r1 #8): the day a fastMRI mount appears,
+    prepare-data -> eval is a config change.  Drives create_data_split ->
+    preprocess_dataset -> motion_test_data -> load_test_corpus -> an actual
+    (tiny) IM-MoCo fit, all from raw fastMRI-shaped volumes on disk."""
+    from miccai24_immoco_tpu.eval.runners import run_immoco
+
+    import sys as _sys
+
+    _sys.path.insert(0, "tests")
+    from test_immoco_fit import small_cfg
+
+    root = tmp_path / "fastmri"
+    for split in ("train", "val", "test"):
+        d = root / split
+        d.mkdir(parents=True)
+        for i in range(2):
+            make_volume(str(d / f"v{i}.h5"), seed=20 + i, hw=32, slices=2)
+
+    # Mount auto-detection via env override.
+    monkeypatch.setenv("IMMOCO_FASTMRI_ROOT", str(root))
+    assert io.detect_fastmri_mount() == str(root)
+
+    paths = io.create_data_split(str(root), str(tmp_path / "prep"),
+                                 counts=(2, 1, 2))
+    stack = io.preprocess_dataset(
+        paths["train"], out_npz=str(tmp_path / "prep" / "train.npz"),
+        slice_index=0, crop=32,
+    )
+    assert stack.shape[0] == 2
+
+    cfg = DataConfig(crop_size=32, light_movements=(2, 4),
+                     heavy_movements=(4, 6))
+    res = io.motion_test_data(paths["test"], str(tmp_path / "prep" / "test"),
+                              cfg=cfg, max_movements=6)
+    corpus = io.load_test_corpus(res["light"]["path"])
+    assert corpus["kspace_motion"].shape == (2, 32, 32)
+
+    fit_cfg = small_cfg("lattice", "lattice", iters=3, max_movements=6)
+    metrics, _ = run_immoco(corpus, fit_cfg, limit=1)
+    assert np.isfinite(metrics[0]["psnr"])
