@@ -164,6 +164,17 @@ class InstanceFitConfig:
     # Measured neutral on the target TPU (the FFTs are not the bottleneck);
     # kept for toolchains with slow FFT lowerings.
     kspace_op: str = "fft"
+    # Hard data-consistency projection on the OUTPUT image (deliberate
+    # divergence, off by default for parity): the reference returns the raw
+    # Image-INR prediction (immoco.py:206), discarding the measured k-space
+    # columns outside the movement groups even though those columns equal
+    # the ground truth exactly under the column-replacement corruption model
+    # (motion_utils.py:185-190). With dc_replace the output spectrum keeps
+    # the measured data on uncorrupted columns and uses the INR only where
+    # the data is corrupted — the standard inverse-problem DC projection
+    # (the reference's own Autofocusing baseline recomposes DC lines the
+    # same way, autofocusing.py:87-89).
+    dc_replace: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

@@ -295,12 +295,30 @@ def make_instance_fit(
         (params, _), losses = jax.lax.scan(step, (params, opt_state), lambdas)
 
         k_fwd, image = model.forward(params, masks, statics)
+        if cfg.dc_replace:
+            image = _dc_project(model, image, k_in, masks, statics)
         descale = scale / cfg.kspace_scale
         return FitResult(
             image=image * descale, kspace_forward=k_fwd * descale, losses=losses
         )
 
     return fit
+
+
+def _dc_project(model, image, k_in, masks, statics):
+    """Hard data-consistency projection (cfg.dc_replace, see config.py):
+    keep the measured spectrum on uncorrupted columns, the INR's on
+    corrupted ones, and return the corresponding image (same scale as
+    ``image``/``k_in``)."""
+    from miccai24_immoco_tpu.ops.fft import ifft2c
+
+    if model.cfg.kspace_op == "dft_mm":
+        kfn = lambda x: fft2c_mm(x, statics["dft"])  # noqa: E731
+    else:
+        kfn = fft2c
+    corrupted = jnp.clip(masks.sum(0), 0.0, 1.0)
+    k_dc = k_in * (1.0 - corrupted) + kfn(image) * corrupted
+    return ifft2c(k_dc)
 
 
 def make_image_fit(model: IMMoCoModel):
@@ -354,8 +372,8 @@ def make_segmented_fit(model: IMMoCoModel, segment_len: int = 25):
       init_fn(kspace, key, statics) -> (params, opt_state, k_in, scale)
       segment_fn(params, opt_state, k_in, masks, lambdas_seg, statics)
           -> (params, opt_state, losses_seg)
-      finalize_fn(params, masks, scale, statics) -> FitResult-less tuple
-          (image, kspace_forward) at input scale
+      finalize_fn(params, k_in, masks, scale, statics) -> FitResult-less
+          tuple (image, kspace_forward) at input scale
     """
     cfg = model.cfg
     opt = optax.adam(cfg.learning_rate, b1=cfg.b1, b2=cfg.b2, eps=cfg.eps)
@@ -385,8 +403,10 @@ def make_segmented_fit(model: IMMoCoModel, segment_len: int = 25):
         return params, opt_state, losses
 
     @jax.jit
-    def finalize_fn(params, masks, scale, statics):
+    def finalize_fn(params, k_in, masks, scale, statics):
         k_fwd, image = model.forward(params, masks, statics)
+        if cfg.dc_replace:
+            image = _dc_project(model, image, k_in, masks, statics)
         descale = scale / cfg.kspace_scale
         return image * descale, k_fwd * descale
 
@@ -417,7 +437,7 @@ def make_segmented_fit(model: IMMoCoModel, segment_len: int = 25):
                 params, opt_state, k_in, masks, seg, statics
             )
             losses.append(l)
-        image, k_fwd = finalize_fn(params, masks, scale, statics)
+        image, k_fwd = finalize_fn(params, k_in, masks, scale, statics)
         return FitResult(
             image=image,
             kspace_forward=k_fwd,

@@ -152,7 +152,7 @@ def make_batched_segmented_fit(
     vseg = jax.jit(
         jax.vmap(single.segment_fn, in_axes=(0, 0, 0, 0, None, None))
     )
-    vfin = jax.jit(jax.vmap(single.finalize_fn, in_axes=(0, 0, 0, None)))
+    vfin = jax.jit(jax.vmap(single.finalize_fn, in_axes=(0, 0, 0, 0, None)))
 
     def run(kspaces, masks, keys, statics) -> FitResult:
         lambdas = lambda_schedule(cfg)
@@ -172,7 +172,7 @@ def make_batched_segmented_fit(
                 params, opt_state, k_in, masks, seg, statics
             )
             losses.append(l)
-        image, k_fwd = vfin(params, masks, scale, statics)
+        image, k_fwd = vfin(params, k_in, masks, scale, statics)
         return FitResult(
             image=image,
             kspace_forward=k_fwd,

@@ -177,6 +177,48 @@ def test_instance_fit_improves_metrics(img_enc, mot_enc):
     assert float(m_fit.psnr) > float(m_corrupt.psnr)
 
 
+def test_dc_replace_keeps_measured_columns_and_helps_psnr():
+    """cfg.dc_replace (hard data-consistency projection, config.py): the
+    output spectrum must equal the measured k-space exactly on uncorrupted
+    columns, and on a noisy GT (noise the INR+prior cannot represent) PSNR
+    must not degrade vs the raw INR output."""
+    rng = np.random.default_rng(0)
+    img = synthetic_brain(64, 64) + jnp.asarray(
+        0.03 * rng.standard_normal((64, 64)).astype(np.float32)
+    )
+    sim = simulate_motion_2d(jax.random.PRNGKey(2), img, n_movements=5)
+    cfg = small_cfg("lattice", "lattice", iters=80, max_movements=8)
+    masks, _ = extract_movement_groups(sim.mask[0], 64, cfg.max_movements)
+
+    plain = motion_correct(sim.kspace, masks, cfg, key=jax.random.PRNGKey(3))
+    cfg_dc = dataclasses.replace(cfg, dc_replace=True)
+    dc = motion_correct(sim.kspace, masks, cfg_dc, key=jax.random.PRNGKey(3))
+
+    from miccai24_immoco_tpu.ops.fft import fft2c
+
+    clean_cols = np.asarray(masks.sum(0).max(axis=0) == 0)
+    k_out = np.asarray(fft2c(dc.image))
+    k_meas = np.asarray(sim.kspace)
+    np.testing.assert_allclose(
+        k_out[:, clean_cols], k_meas[:, clean_cols],
+        atol=1e-2 * float(np.abs(k_meas).max()) * 1e-3 + 1e-3,
+        rtol=1e-4,
+    )
+
+    gt = jnp.abs(img)[None, None]
+    m_plain = calmetric2d(
+        center_crop_quarter(jnp.abs(plain.image)[None, None]),
+        center_crop_quarter(gt),
+    )
+    m_dc = calmetric2d(
+        center_crop_quarter(jnp.abs(dc.image)[None, None]),
+        center_crop_quarter(gt),
+    )
+    assert float(m_dc.psnr) >= float(m_plain.psnr) - 0.05, (
+        f"dc {float(m_dc.psnr):.3f} vs plain {float(m_plain.psnr):.3f}"
+    )
+
+
 def test_fit_is_jit_compiled_once():
     img = synthetic_brain(32, 32)
     sim = simulate_motion_2d(jax.random.PRNGKey(4), img, n_movements=2)
