@@ -167,19 +167,25 @@ def cmd_train_kld(args):
 
 
 def cmd_train_denoiser(args):
+    from miccai24_immoco_tpu.config import UnetConfig
     from miccai24_immoco_tpu.train.train_denoiser import (
         DenoiserTrainConfig,
         train_denoiser,
     )
+    from miccai24_immoco_tpu.utils.checkpoint import save
 
+    unet_kw = dict(in_chans=1, out_chans=1, chans=args.chans,
+                   num_pool_layers=args.pools, norm="instance")
     train, val = _train_kspace_stacks(args)
     net, params, best = train_denoiser(
         train, val, DenoiserTrainConfig(steps=args.steps), steps=args.steps,
+        unet_cfg=UnetConfig(**unet_kw),
         log_fn=_make_log_fn(
             "MICCAI_MoCo", "denoising", {"steps": args.steps}
         ),
     )
-    _save_ckpt(args.out, best if best is not None else params)
+    save(args.out, best if best is not None else params,
+         {"unet": unet_kw, "steps": args.steps})
     print(f"saved {args.out}")
 
 
@@ -266,10 +272,8 @@ def cmd_eval_autofocus(args):
 def cmd_eval_denoiser(args):
     from miccai24_immoco_tpu.eval.harness import save_report
     from miccai24_immoco_tpu.eval.runners import run_denoiser
-    from miccai24_immoco_tpu.models.unet import build_denoiser
 
-    net = build_denoiser()
-    params = _load_ckpt(args.ckpt)
+    net, params = _load_denoiser(args.ckpt)
     per_scenario = {}
     for scenario in args.scenarios.split(","):
         corpus = _get_corpus(args, scenario)
@@ -277,6 +281,27 @@ def cmd_eval_denoiser(args):
                                               limit=args.limit)
     save_report(per_scenario, args.out_dir, "unet_denoiser")
     print(json.dumps({s: _agg(m) for s, m in per_scenario.items()}, indent=2))
+
+
+def _load_denoiser(name_or_path: str):
+    """Registry name or checkpoint path -> (net, params); the saved arch
+    metadata ({"unet": kwargs}) overrides the reference default arch."""
+    from miccai24_immoco_tpu import weights as W
+    from miccai24_immoco_tpu.config import UnetConfig
+    from miccai24_immoco_tpu.models.unet import build_denoiser, build_unet
+    from miccai24_immoco_tpu.utils.checkpoint import restore_with_meta
+
+    try:
+        path = W.path_of(name_or_path)
+    except KeyError:
+        path = name_or_path
+    try:
+        tree, meta = restore_with_meta(path)
+    except Exception:
+        return build_denoiser(), _load_ckpt(path)
+    net = (build_unet(UnetConfig(**meta["unet"])) if meta.get("unet")
+           else build_denoiser())
+    return net, _unwrap_params(tree)
 
 
 def cmd_eval_kld(args):
@@ -307,6 +332,8 @@ def cmd_train_classifier(args):
     if args.patches_npz:
         z = np.load(args.patches_npz)
         patches, labels = z["patches"], z["labels"]
+    elif args.lesions:
+        patches, labels = _lesion_patches(args.lesions, args.size)
     else:
         rng = np.random.default_rng(0)
         n = args.synthetic
@@ -315,13 +342,140 @@ def cmd_train_classifier(args):
         labels = np.concatenate(
             [np.zeros(n // 2, np.int32), np.ones(n - n // 2, np.int32)]
         )
-    cfg = ClassifierTrainConfig(steps=args.steps)
+    cfg = ClassifierTrainConfig(
+        steps=args.steps, train_backbone=args.train_backbone
+    )
     state, eval_step = train_classifier(
         patches, labels, cfg, val=(patches, labels),
         log_fn=lambda i, st: print(i, json.dumps(st)),
     )
-    save(args.out, state["head_params"])
+    save(
+        args.out,
+        {"head_params": state["head_params"], "backbone": state["backbone"],
+         "batch_stats": state["batch_stats"]},
+        {"seed": cfg.seed, "train_backbone": cfg.train_backbone,
+         "steps": cfg.steps, "source": "lesions" if args.lesions else "npz"},
+    )
     print(f"saved {args.out}")
+
+
+def _lesion_patches(n: int, size: int, seed: int = 0):
+    """Motion-free 124^2 patches at lesion centers from the synthetic
+    lesion corpus (data/lesions.py) — the stand-in for the reference's
+    fastMRI+ patch dataset (classification_utils.py:346-393)."""
+    import jax.numpy as jnp
+
+    from miccai24_immoco_tpu.data.lesions import lesion_corpus
+    from miccai24_immoco_tpu.eval.downstream import extract_patches
+    from miccai24_immoco_tpu.utils.hostio import put_complex
+
+    corpus = lesion_corpus(n, size, size, seed=seed)
+    patches = []
+    for i in range(n):
+        img = jnp.abs(put_complex(corpus["image"][i]))
+        p = extract_patches(
+            img, jnp.asarray(corpus["centers"][i : i + 1]), 124
+        )
+        patches.append(np.asarray(p[0]))
+    return np.stack(patches), corpus["labels"]
+
+
+def cmd_eval_classification(args):
+    """Classifier accuracy across correction conditions — the
+    test_classification.py:65-100 protocol on the synthetic lesion corpus."""
+    import jax
+    import jax.numpy as jnp
+
+    from miccai24_immoco_tpu import weights as W
+    from miccai24_immoco_tpu.config import InstanceFitConfig
+    from miccai24_immoco_tpu.data.lesions import lesion_corpus
+    from miccai24_immoco_tpu.eval.downstream import (
+        classification_conditions,
+        extract_patches,
+    )
+    from miccai24_immoco_tpu.models.immoco import motion_correct
+    from miccai24_immoco_tpu.ops.fft import ifft2c
+    from miccai24_immoco_tpu.ops.masks import extract_movement_groups
+    from miccai24_immoco_tpu.ops.motion_sim import simulate_motion_2d
+    from miccai24_immoco_tpu.train.train_classification import (
+        make_eval_from_checkpoint,
+    )
+    from miccai24_immoco_tpu.utils.hostio import put_complex
+
+    eval_acc = make_eval_from_checkpoint(W.path_of(args.weights))
+    corpus = lesion_corpus(args.lesions, args.size, args.size, seed=1000)
+    n = args.lesions
+    cfg = InstanceFitConfig(
+        iters=args.iters,
+        max_movements=24,
+        dc_replace=args.dc_replace,
+        **_bench_like_fit_kwargs(),
+    )
+
+    def patches_of(img, i):
+        return np.asarray(
+            extract_patches(
+                jnp.abs(img), jnp.asarray(corpus["centers"][i : i + 1]), 124
+            )[0]
+        )
+
+    conditions: dict = {"motion_free": []}
+    scenarios = {"light": (6, 9), "heavy": (16, 19)}
+    for s in scenarios:
+        conditions[f"corrupted_{s}"] = []
+        conditions[f"immoco_{s}"] = []
+    denoiser = None
+    if args.denoiser and args.denoiser != "none" and W.available(args.denoiser):
+        denoiser = _load_denoiser(args.denoiser)
+        for s in scenarios:
+            conditions[f"denoiser_{s}"] = []
+
+    rng = np.random.default_rng(7)
+    for i in range(n):
+        img = put_complex(corpus["image"][i])
+        conditions["motion_free"].append(patches_of(img, i))
+        for s, (lo, hi) in scenarios.items():
+            n_mov = int(rng.integers(lo, hi + 1))
+            sim = simulate_motion_2d(
+                jax.random.PRNGKey(1000 + 2 * i + (s == "heavy")),
+                img,
+                n_movements=n_mov,
+            )
+            corrupted = ifft2c(sim.kspace)
+            conditions[f"corrupted_{s}"].append(patches_of(corrupted, i))
+            masks, _ = extract_movement_groups(
+                sim.mask[0], args.size, cfg.max_movements
+            )
+            r = motion_correct(sim.kspace, masks, cfg)
+            conditions[f"immoco_{s}"].append(patches_of(r.image, i))
+            if denoiser is not None:
+                from miccai24_immoco_tpu.train.train_denoiser import denoise
+
+                out = denoise(denoiser[0], denoiser[1], sim.kspace[None])[0]
+                conditions[f"denoiser_{s}"].append(patches_of(out, i))
+
+    patch_sets = {k: np.stack(v) for k, v in conditions.items()}
+    acc = classification_conditions(eval_acc, patch_sets, corpus["labels"])
+    out = {"n": n, "size": args.size, "iters": args.iters,
+           "weights": args.weights, "accuracy": acc}
+    print(json.dumps(out, indent=2))
+    if args.out_json:
+        os.makedirs(os.path.dirname(args.out_json) or ".", exist_ok=True)
+        with open(args.out_json, "w") as f:
+            json.dump(out, f, indent=2)
+
+
+def _bench_like_fit_kwargs():
+    """The measured-best TPU fit configuration (bench.py defaults)."""
+    import jax
+
+    if jax.default_backend() == "cpu":
+        return {}
+    return {
+        "warp_impl": "pallas_tiled",
+        "motion_disp_px": 30,
+        "compute_dtype": "bfloat16",
+    }
 
 
 def cmd_train_afplus(args):
@@ -521,6 +675,8 @@ def build_parser() -> argparse.ArgumentParser:
 
     t = sub.add_parser("train-denoiser")
     common_train(t)
+    t.add_argument("--chans", type=int, default=32)
+    t.add_argument("--pools", type=int, default=6)
     t.set_defaults(fn=cmd_train_denoiser)
 
     def common_eval(sp):
@@ -560,9 +716,23 @@ def build_parser() -> argparse.ArgumentParser:
     t = sub.add_parser("train-classifier")
     t.add_argument("--patches-npz")
     t.add_argument("--synthetic", type=int, default=32)
+    t.add_argument("--lesions", type=int, default=0,
+                   help="train on N synthetic lesion-corpus patches")
+    t.add_argument("--size", type=int, default=320)
+    t.add_argument("--train-backbone", action="store_true")
     t.add_argument("--steps", type=int, required=True)
     t.add_argument("--out", required=True)
     t.set_defaults(fn=cmd_train_classifier)
+
+    e = sub.add_parser("eval-classification")
+    e.add_argument("--weights", default="classifier_synthetic")
+    e.add_argument("--denoiser", default="denoiser_full")
+    e.add_argument("--lesions", type=int, default=32)
+    e.add_argument("--size", type=int, default=320)
+    e.add_argument("--iters", type=int, default=200)
+    e.add_argument("--dc-replace", action="store_true")
+    e.add_argument("--out-json")
+    e.set_defaults(fn=cmd_eval_classification)
 
     t = sub.add_parser("train-afplus")
     common_train(t)

@@ -43,6 +43,10 @@ class AFPlusTrainConfig:
     # Chunked KB gridding (ops/nufft.py): peak-memory control for the
     # bilevel unroll; 0 = unchunked. 12800 = 8 chunks at 320^2.
     nufft_chunk: int = 12800
+    # Bilevel-stability knobs (see afplus_inner_unrolled; both off =
+    # verbatim reference semantics, which NaN on occasional draws).
+    rot_moment_detach: bool = False
+    inner_eps: float = 0.0
 
 
 def afplus_inner_unrolled(
@@ -52,6 +56,8 @@ def afplus_inner_unrolled(
     oversamp: int,
     cfg: AFPlusConfig = AFPlusConfig(),
     nufft_chunk: int = 0,
+    rot_moment_detach: bool = False,
+    inner_eps: float = 0.0,
 ):
     """Run `iters` AF+ Adam steps, differentiable end-to-end; returns the
     corrected k-space (the training variant without zero_middle)."""
@@ -85,17 +91,29 @@ def afplus_inner_unrolled(
         gx, gy, gr = (
             gx * cfg.grad_scale, gy * cfg.grad_scale, gr * cfg.grad_scale
         )
+        # The reference detaches the x/y moments every iteration but NOT
+        # the rot moments (train_afplus_original.py:181-187 — x_moment1
+        # .detach() vs rot_moment1 bare): the outer gradient therefore
+        # differentiates through the full 30-step chain of rot's
+        # rsqrt(moment2) updates, whose derivative has 1/|g| factors that
+        # blow up whenever an inner rot gradient crosses zero — the NaN
+        # source the zero_nans guard was masking (probe:
+        # scripts/probe_afplus_nan.py). rot_moment_detach=True treats rot
+        # like x/y (a one-token change the reference plausibly intended);
+        # inner_eps adds a torch-style epsilon inside the rsqrt. Both
+        # default off = verbatim reference semantics.
+        md = jax.lax.stop_gradient if rot_moment_detach else (lambda v: v)
         m = (
             b1 * jax.lax.stop_gradient(m[0]) + (1 - b1) * gx,
             b2 * jax.lax.stop_gradient(m[1]) + (1 - b2) * gx * gx + 1e-24,
             b1 * jax.lax.stop_gradient(m[2]) + (1 - b1) * gy,
             b2 * jax.lax.stop_gradient(m[3]) + (1 - b2) * gy * gy + 1e-24,
-            b1 * m[4] + (1 - b1) * gr,
-            b2 * m[5] + (1 - b2) * gr * gr + 1e-24,
+            b1 * md(m[4]) + (1 - b1) * gr,
+            b2 * md(m[5]) + (1 - b2) * gr * gr + 1e-24,
         )
-        xs = xs - cfg.learning_rate * m[0] * jax.lax.rsqrt(m[1])
-        ys = ys - cfg.learning_rate * m[2] * jax.lax.rsqrt(m[3])
-        rot = rot - cfg.learning_rate * m[4] * jax.lax.rsqrt(m[5])
+        xs = xs - cfg.learning_rate * m[0] * jax.lax.rsqrt(m[1] + inner_eps)
+        ys = ys - cfg.learning_rate * m[2] * jax.lax.rsqrt(m[3] + inner_eps)
+        rot = rot - cfg.learning_rate * m[4] * jax.lax.rsqrt(m[5] + inner_eps)
         return xs, ys, rot, m
 
     def scan_body(carry, _):
@@ -161,6 +179,8 @@ def make_afplus_trainer(
             yp_ks = afplus_inner_unrolled(
                 metric_fn_of(p), ks, cfg.inner_iters, cfg.nufft_oversamp,
                 nufft_chunk=cfg.nufft_chunk,
+                rot_moment_detach=cfg.rot_moment_detach,
+                inner_eps=cfg.inner_eps,
             )
             out = jnp.abs(ifft2c(yp_ks))[None, None] * 1e4
             tgt = gt_img[None, None] * 1e4

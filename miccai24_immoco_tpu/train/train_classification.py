@@ -33,6 +33,13 @@ class ClassifierTrainConfig:
     learning_rate: float = 1e-3
     seed: int = 0
     num_classes: int = 2
+    # The reference freezes an ImageNet-pretrained backbone and trains only
+    # the FC head (train_classification.py:29-158). This environment has no
+    # ImageNet weights (no torchvision, no network), so head-only training
+    # sits on random features; train_backbone=True trains the whole network
+    # from scratch instead — a documented divergence that exists purely
+    # because the pretrained initializer is unavailable here.
+    train_backbone: bool = False
 
 
 def multi_acc(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
@@ -58,7 +65,12 @@ def make_classifier_trainer(
 
     # Split: trainable head = Dense_0; everything else frozen (reference
     # freezes the backbone, train_classification.py head-only optimizer).
+    # With cfg.train_backbone everything is trainable (see config note);
+    # BatchNorm stays in eval mode (init running stats) either way, so no
+    # mutable-state plumbing is needed — frozen-BN training.
     def split(params):
+        if cfg.train_backbone:
+            return dict(params), {}
         head = {"Dense_0": params["Dense_0"]}
         back = {k: v for k, v in params.items() if k != "Dense_0"}
         return head, back
@@ -141,3 +153,30 @@ def train_classifier(
     state["head_params"] = hp
     state["opt_state"] = opt_state
     return state, eval_step
+
+
+def make_eval_from_checkpoint(path: str):
+    """Restore a classifier checkpoint (cli train-classifier output:
+    {head_params, backbone, batch_stats} + metadata) -> eval_acc(patches,
+    labels) callable for eval/downstream.classification_conditions."""
+    import jax
+
+    from miccai24_immoco_tpu.models.resnet import ResNet18
+    from miccai24_immoco_tpu.utils.checkpoint import restore_with_meta
+
+    tree, meta = restore_with_meta(path)
+    net = ResNet18(num_classes=2)
+    variables = {
+        "params": {**tree["backbone"], **tree["head_params"]},
+        "batch_stats": tree["batch_stats"],
+    }
+
+    @jax.jit
+    def logits_fn(patches):
+        return net.apply(variables, preprocess_patches(patches), train=False)
+
+    def eval_acc(patches: np.ndarray, labels: np.ndarray) -> float:
+        logits = logits_fn(jnp.asarray(patches))
+        return float(multi_acc(logits, jnp.asarray(labels)))
+
+    return eval_acc

@@ -216,10 +216,16 @@ def train_denoiser(
     steps: Optional[int] = None,
     log_every: int = 20,
     log_fn: Callable[[int, Dict], None] = lambda i, s: None,
+    unet_cfg: Optional[UnetConfig] = None,
 ):
     steps = steps or cfg.steps
-    net = build_unet(UnetConfig(in_chans=1, out_chans=1, chans=32,
-                                num_pool_layers=6, norm="instance"))
+    # Default arch = the reference's Unet(1, 1, 32, 6, InstanceNorm)
+    # (train_unet_denoiser.py:35-42); the distributed checkpoint uses a
+    # smaller override (chans 16 / 5 pools) so the weights fit in-repo —
+    # see weights.py denoiser_full.
+    net = build_unet(unet_cfg or UnetConfig(
+        in_chans=1, out_chans=1, chans=32, num_pool_layers=6,
+        norm="instance"))
     h, w = kspace_train.shape[-2:]
     init_fn, _, _, segment_fn = make_denoiser_trainer(
         net, cfg, sim_cfg, (h, w)

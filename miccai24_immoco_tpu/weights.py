@@ -26,9 +26,11 @@ _ROOT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 REGISTRY: Dict[str, str] = {
     "kld_synthetic": os.path.join(_ROOT, "artifacts", "kld_synthetic"),
     "kld_full": os.path.join(_ROOT, "artifacts", "kld_full"),
-    # Trained in-place on the build machine (440 MB — not committed; rerun
-    # `cli train-denoiser --synthetic 200 --size 320 --steps 10000` to
-    # reproduce: 10k single-sample steps of the reference recipe).
+    # Committed distribution checkpoint (reference recipe, but chans 16 /
+    # 5 pools instead of 32/6 so the weights fit in-repo — the reference
+    # arch would be 440 MB; reproduce it with
+    # `cli train-denoiser --synthetic 200 --size 320 --steps 10000
+    #  --chans 32 --pools 6`).
     "denoiser_full": os.path.join(_ROOT, "artifacts", "denoiser_full"),
     # AF+ metric U-Net, scaled bilevel training run (600 steps of the
     # 30-iteration unrolled recipe at 320^2 on one v5e; the full reference
@@ -37,6 +39,12 @@ REGISTRY: Dict[str, str] = {
     # budget). Trained on the TPU build machine; not committed.
     "afplus_scaled": os.path.join(
         _ROOT, "artifacts", "afplus_full", "afplus_scaled"
+    ),
+    # ResNet-18 lesion-patch classifier trained from scratch on the
+    # synthetic lesion corpus (data/lesions.py; no ImageNet weights exist
+    # in-env — see train_classification.ClassifierTrainConfig).
+    "classifier_synthetic": os.path.join(
+        _ROOT, "artifacts", "classifier_synthetic"
     ),
 }
 

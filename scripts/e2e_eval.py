@@ -74,12 +74,23 @@ def main():
             motion_inr=MotionINRConfig(encoding="lattice"),
             motion_disp_px=30,
             warp_impl=os.environ.get("E2E_WARP", "pallas_tiled"),
+            compute_dtype=os.environ.get("E2E_DTYPE", "bfloat16"),
+            dc_replace=bool(int(os.environ.get("E2E_DC", "0"))),
         )
         corpus = _synthetic_corpus(n, 320, scenario, seed=2024)
+        import time as _time
+
+        buckets_env = os.environ.get("E2E_BUCKETS")
+        buckets = ([int(b) for b in buckets_env.split(",")]
+                   if buckets_env else ([10] if scenario == "light" else [18]))
+        t0 = _time.time()
         metrics = run_immoco_batched(
             corpus, cfg, kld=kld, limit=n, batch_size=min(n, 4),
-            segment_len=50,
+            segment_len=50, buckets=buckets,
         )
+        wall = _time.time() - t0
+        print(f"{scenario}: {wall:.1f}s wall for {n} slices "
+              f"({wall/n:.2f} s/slice incl. detection+compile)", flush=True)
         per_scenario[scenario] = metrics
         per_scenario_corrupt[scenario] = corruption_metrics(corpus, n)
         print(scenario, "corrected:", aggregate(metrics), flush=True)
