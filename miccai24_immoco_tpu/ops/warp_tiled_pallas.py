@@ -39,10 +39,11 @@ tile_px/2 - 2 pixels.  Gradient semantics match ops/warp.py's gather
 reference: out-of-image taps contribute zero value AND zero coordinate
 gradient; d/dcoord treats floor() as piecewise-constant.
 
-The backward is a second Pallas kernel emitting per-window gradients
-(un-sliced in XLA outside — static pads, no scatter) plus the coordinate
-gradients; residuals are just (planes, pixel coords), so no
-rematerialization wrapper is needed around this op.
+The backward is a second Pallas kernel accumulating each window's gradient
+across its movements in VMEM (un-sliced in XLA outside — static pads, no
+scatter) plus the coordinate gradients; residuals are the forward's window
+stack + window-local coords (a few MB), so no rematerialization wrapper is
+needed around this op and the backward rebuilds nothing.
 """
 
 from __future__ import annotations
@@ -108,7 +109,7 @@ def _fwd_kernel(gy_ref, gx_ref, win_ref, out_ref, *, wy, wx, c):
 
 
 def _bwd_kernel(
-    gy_ref, gx_ref, win_ref, dout_ref, dwin_ref, dgy_ref, dgx_ref,
+    first_ref, gy_ref, gx_ref, win_ref, dout_ref, dwin_ref, dgy_ref, dgx_ref,
     *, wy, wx, c
 ):
     gy = gy_ref[0, 0, 0, :]
@@ -120,6 +121,18 @@ def _bwd_kernel(
     n = gy.shape[0]
     dgy = jnp.zeros((n,), jnp.float32)
     dgx = jnp.zeros((n,), jnp.float32)
+    # Movement axis is the innermost grid dim and dwin_ref's index_map
+    # ignores it, so the (c, wy, wx) f32 window-gradient block stays VMEM-
+    # resident across a window's M consecutive steps: the reduction over
+    # movements happens IN the kernel and the block is written back once
+    # per window (the old variant emitted per-(window, movement) bf16
+    # blocks, M x the bytes, reduced in XLA outside — measured ~2x slower
+    # end-to-end at fit shapes).  First-visit init cannot use
+    # pl.program_id (the batch axis is PREPENDED to the grid under vmap);
+    # instead a (M, 1, n) flag operand indexed by the movement axis drives
+    # a select — where() and not flag-multiply, so uninitialized-VMEM NaN
+    # garbage cannot propagate.
+    first = first_ref[0, 0, 0] > 0.5
     for ci in range(c):
         w = win_ref[0, ci]  # (wy, wx) bf16
         do = dout_ref[0, 0, ci, :]  # (n,) f32
@@ -133,15 +146,15 @@ def _bwd_kernel(
         ).astype(jnp.bfloat16)
         dgy += jnp.sum(rows_d * ax, axis=1, dtype=jnp.float32) * do
         dgx += jnp.sum(rows * axd, axis=1, dtype=jnp.float32) * do
-        # d_window[y, x] = sum_n ay[n, y] * ax[n, x] * do[n]; per-(k, m)
-        # blocks, reduced over movements in XLA outside (bf16 outputs keep
-        # the buffers small enough for XLA's scoped-VMEM placement of
-        # custom-call operands inside the scanned fit step).
+        # d_window[y, x] = sum_n ay[n, y] * ax[n, x] * do[n], accumulated
+        # over the movement steps that share this window.
         t = (ax * do[:, None]).astype(jnp.bfloat16)  # (n, wx)
-        dwin_ref[0, 0, ci] = jax.lax.dot_general(
+        contrib = jax.lax.dot_general(
             ay, t, dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        ).astype(jnp.bfloat16)
+        )
+        prev = jnp.where(first, jnp.zeros_like(contrib), dwin_ref[0, ci])
+        dwin_ref[0, ci] = prev + contrib
     dgy_ref[0, 0, 0, :] = dgy.astype(jnp.bfloat16)
     dgx_ref[0, 0, 0, :] = dgx.astype(jnp.bfloat16)
 
@@ -215,13 +228,20 @@ def _warp_tiled_fwd(planes, gy_px, gx_px, tile, interpret):
         out_shape=jax.ShapeDtypeStruct((k, m, c, n), jnp.float32),
         interpret=interpret,
     )(gyl, gxl, windows)
-    return _untile(out, m, ny, nx, b, c), (planes, gy_px, gx_px)
+    # Residuals carry the already-built windows + window-local coords so the
+    # backward skips _build's window stacking / tiling transposes entirely.
+    return _untile(out, m, ny, nx, b, c), (planes, windows, gyl, gxl)
 
 
 def _warp_tiled_bwd(tile, interpret, res, d_out):
-    planes, gy_px, gx_px = res
-    windows, gyl, gxl, meta = _build(planes, gy_px, gx_px, tile)
-    c, m, ny, nx, b, win, sys_, sxs_ = meta
+    planes, windows, gyl, gxl = res
+    c, h, w = planes.shape
+    m = gyl.shape[1]
+    b = tile
+    win = 2 * tile
+    ny, nx = d_out.shape[1] // b, d_out.shape[2] // b
+    sys_ = _window_starts(h, ny, b, win)
+    sxs_ = _window_starts(w, nx, b, win)
     n = b * b
     k = ny * nx
     d_tiled = (
@@ -230,31 +250,34 @@ def _warp_tiled_bwd(tile, interpret, res, d_out):
         .reshape(k, m, c, n)
         .astype(jnp.float32)
     )
+    # Movement-step-indexed first-visit flag for the in-kernel d_win
+    # accumulation (see _bwd_kernel; (M, 1, n) so the block's trailing dims
+    # match the array's — the Mosaic block-shape constraint).
+    first = jnp.zeros((m, 1, n), jnp.float32).at[0].set(1.0)
     d_win, d_gyl, d_gxl = pl.pallas_call(
         functools.partial(_bwd_kernel, wy=win, wx=win, c=c),
         grid=(k, m),
         in_specs=[
+            pl.BlockSpec((1, 1, n), lambda i, j: (j, 0, 0)),
             pl.BlockSpec((1, 1, 1, n), lambda i, j: (i, j, 0, 0)),
             pl.BlockSpec((1, 1, 1, n), lambda i, j: (i, j, 0, 0)),
             pl.BlockSpec((1, c, win, win), lambda i, j: (i, 0, 0, 0)),
             pl.BlockSpec((1, 1, c, n), lambda i, j: (i, j, 0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((1, 1, c, win, win), lambda i, j: (i, j, 0, 0, 0)),
+            pl.BlockSpec((1, c, win, win), lambda i, j: (i, 0, 0, 0)),
             pl.BlockSpec((1, 1, 1, n), lambda i, j: (i, j, 0, 0)),
             pl.BlockSpec((1, 1, 1, n), lambda i, j: (i, j, 0, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((k, m, c, win, win), jnp.bfloat16),
+            jax.ShapeDtypeStruct((k, c, win, win), jnp.float32),
             jax.ShapeDtypeStruct((k, m, 1, n), jnp.bfloat16),
             jax.ShapeDtypeStruct((k, m, 1, n), jnp.bfloat16),
         ],
         interpret=interpret,
-    )(gyl, gxl, windows, d_tiled)
-    # Reduce the per-(window, movement) gradients over movements.
-    d_win = d_win.astype(jnp.float32).sum(axis=1)
+    )(first, gyl, gxl, windows, d_tiled)
     # Barrier: without it XLA fuses the untiling transposes into the
-    # custom-call's output scope and promotes a full 16 MB gradient buffer
+    # custom-call's output scope and promotes a full gradient buffer
     # into scoped VMEM inside the scanned fit step (OOM at the 16 MB limit).
     d_win, d_gyl, d_gxl = jax.lax.optimization_barrier(
         (d_win, d_gyl, d_gxl)
