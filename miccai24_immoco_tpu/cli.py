@@ -183,6 +183,8 @@ def cmd_train_denoiser(args):
         log_fn=_make_log_fn(
             "MICCAI_MoCo", "denoising", {"steps": args.steps}
         ),
+        ckpt_path=args.out,
+        ckpt_meta={"unet": unet_kw, "steps": args.steps},
     )
     save(args.out, best if best is not None else params,
          {"unet": unet_kw, "steps": args.steps})

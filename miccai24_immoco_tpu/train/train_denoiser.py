@@ -217,6 +217,9 @@ def train_denoiser(
     log_every: int = 20,
     log_fn: Callable[[int, Dict], None] = lambda i, s: None,
     unet_cfg: Optional[UnetConfig] = None,
+    ckpt_path: Optional[str] = None,
+    save_every: int = 500,
+    ckpt_meta: Optional[Dict] = None,
 ):
     steps = steps or cfg.steps
     # Default arch = the reference's Unet(1, 1, 32, 6, InstanceNorm)
@@ -249,5 +252,15 @@ def train_denoiser(
         done += seg
         log_fn(done - 1, {"loss_train": float(losses[-1]),
                           **{k: float(v[-1]) for k, v in stats.items()}})
+        if ckpt_path and (done % save_every < seg or done >= steps):
+            # Overwrite-safe periodic save of the gated-best params so a
+            # tunnel hang (CLAUDE.md landmine 10a) loses at most save_every
+            # steps of progress.
+            from miccai24_immoco_tpu.utils.checkpoint import save as _save
+
+            _save(ckpt_path, best_params, {
+                **(ckpt_meta or {}),
+                "steps_done": done, "best_gain": float(best_gain),
+            })
     best = best_params if float(best_gain) > gate else None
     return net, params, best
