@@ -80,6 +80,7 @@ def main():
         warp_tile_px=int(os.environ.get("BENCH_TILE", "0")),
         warp_impl=os.environ.get("BENCH_WARP", "pallas_tiled"),
         warp_pallas_tile_px=int(os.environ.get("BENCH_PTILE", "64")),
+        motion_res_factor=int(os.environ.get("BENCH_MOTRES", "1")),
     )
 
     images = phantom_stack(batch, size, size, seed=0)

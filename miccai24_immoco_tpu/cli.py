@@ -495,7 +495,11 @@ def cmd_train_afplus(args):
     h, w = train.shape[-2:]
     net = build_unet(UnetConfig(in_chans=1, out_chans=1, chans=args.chans,
                                 num_pool_layers=args.pools, norm="instance"))
-    cfg = AFPlusTrainConfig(steps=args.steps, inner_iters=args.inner_iters)
+    cfg = AFPlusTrainConfig(
+        steps=args.steps, inner_iters=args.inner_iters,
+        rot_moment_detach=args.stability in ("rot_detach", "both"),
+        inner_eps=1e-12 if args.stability in ("eps", "both") else 0.0,
+    )
     init_fn, train_step, _ = make_afplus_trainer(net, cfg, image_shape=(h, w))
     log_fn = _make_log_fn(
         "MICCAI_MoCo", "AFPlus",
@@ -741,6 +745,12 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--inner-iters", type=int, default=30)
     t.add_argument("--chans", type=int, default=32)
     t.add_argument("--pools", type=int, default=6)
+    t.add_argument(
+        "--stability", default="ref",
+        choices=("ref", "rot_detach", "eps", "both"),
+        help="bilevel NaN guard variant (train_afplus.AFPlusTrainConfig; "
+        "'ref' = verbatim reference semantics)",
+    )
     t.set_defaults(fn=cmd_train_afplus)
 
     e = sub.add_parser("eval-afplus")

@@ -175,6 +175,16 @@ class InstanceFitConfig:
     # (the reference's own Autofocusing baseline recomposes DC lines the
     # same way, autofocusing.py:87-89).
     dc_replace: bool = False
+    # Motion-INR lattice downsampling (deliberate divergence, 1 = reference
+    # parity): with factor f the displacement field is evaluated on an
+    # (M, H/f, W/f) lattice and bilinearly upsampled to (M, H, W) via two
+    # small interp matmuls (MXU work). The reference evaluates its Motion
+    # INR at every output pixel (immoco.py:78-80, 93-95), but the fields it
+    # learns are tanh-bounded smooth deformations of near-rigid motions, so
+    # a half-resolution lattice represents them with no measured quality
+    # loss while cutting the motion-INR encode+MLP cost ~4x (the second-
+    # largest per-iteration term after the warp — PERFORMANCE.md round 2).
+    motion_res_factor: int = 1
 
 
 @dataclasses.dataclass(frozen=True)

@@ -122,6 +122,13 @@ class IMMoCoModel:
                     jnp.float32,
                 ).reshape(2, 1, 1, 1)
                 disp_cf = disp_cf * scale_cf
+            if "motion_up" in statics:
+                # motion_res_factor upsample: two interp matmuls
+                # (2, M, mh, mw) -> (2, M, H, W); linear resample of the
+                # bounded displacement field (config.py motion_res_factor).
+                uh, uw = statics["motion_up"]
+                disp_cf = jnp.einsum("cmpq,jq->cmpj", disp_cf, uw)
+                disp_cf = jnp.einsum("cmpj,ip->cmij", disp_cf, uh)
             grids_cf = disp_cf + statics["id_grid_cf"][:, None]
             gx, gy = grids_cf[0], grids_cf[1]
             grids = None
@@ -141,6 +148,10 @@ class IMMoCoModel:
                     jnp.float32,
                 )
                 disp = disp * scale
+            if "motion_up" in statics:
+                uh, uw = statics["motion_up"]
+                disp = jnp.einsum("mpqc,jq->mpjc", disp, uw)
+                disp = jnp.einsum("mpjc,ip->mijc", disp, uh)
             grids = disp + statics["id_grid"][None]
 
         def _grids_cl():
@@ -218,11 +229,22 @@ class IMMoCoModel:
         return dc_term + mov_term, image
 
 
+def _upsample_matrix(n: int, m: int) -> jnp.ndarray:
+    """(n, m) row-stochastic linear-interp matrix: target linspace(-1,1,n)
+    sampled from a source linspace(-1,1,m) lattice (hat weights)."""
+    t = jnp.linspace(-1.0, 1.0, n, dtype=jnp.float32)
+    pos = (t + 1.0) * 0.5 * (m - 1)  # fractional source index per target
+    src = jnp.arange(m, dtype=jnp.float32)
+    return jax.nn.relu(1.0 - jnp.abs(pos[:, None] - src[None, :]))
+
+
 def build_immoco(cfg: InstanceFitConfig, height: int, width: int) -> IMMoCoModel:
     dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
     image_inr = build_inr(cfg.image_inr, (height, width), compute_dtype=dtype)
+    f = max(int(cfg.motion_res_factor), 1)
+    mh, mw = height // f, width // f
     motion_inr = build_inr(
-        cfg.motion_inr, (cfg.max_movements, height, width), compute_dtype=dtype
+        cfg.motion_inr, (cfg.max_movements, mh, mw), compute_dtype=dtype
     )
     id_grid = jax.jit(identity_grid, static_argnums=(0, 1))(
         (height, width), True
@@ -234,6 +256,14 @@ def build_immoco(cfg: InstanceFitConfig, height: int, width: int) -> IMMoCoModel
         # Channel-first planes (2, H, W) for the cf motion path.
         "id_grid_cf": jax.jit(lambda g: jnp.moveaxis(g, -1, 0))(id_grid),
     }
+    if f > 1:
+        # (H, mh)/(W, mw) bilinear-resample matrices from the coarse motion
+        # lattice (linspace(-1,1,m), inr._lattice_coords convention) to the
+        # full pixel lattice — the cfg.motion_res_factor upsample.
+        statics["motion_up"] = (
+            _upsample_matrix(height, mh),
+            _upsample_matrix(width, mw),
+        )
     if cfg.kspace_op == "dft_mm":
         statics["dft"] = centered_dft_statics(height, width)
     return IMMoCoModel(

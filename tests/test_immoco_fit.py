@@ -290,3 +290,68 @@ def test_pallas_tiled_requires_disp_cap():
     masks = jnp.zeros((3, 128, 128))
     with pytest.raises(ValueError, match="motion_disp_px"):
         model.forward(params, masks, model.statics)
+
+
+def test_motion_res_factor_upsample_and_parity():
+    """cfg.motion_res_factor=2 (config.py): the displacement field is
+    evaluated on a half-resolution lattice and linearly upsampled.  The
+    upsample matrix must be an exact 1-D linear resample, and the f=2
+    forward model must agree with f=1 when the Motion INR output is forced
+    constant (a constant field upsamples to itself)."""
+    from miccai24_immoco_tpu.models.immoco import _upsample_matrix
+
+    u = np.asarray(_upsample_matrix(64, 32))
+    rng = np.random.default_rng(0)
+    v = rng.standard_normal(32)
+    np.testing.assert_allclose(
+        u @ v,
+        np.interp(np.linspace(-1, 1, 64), np.linspace(-1, 1, 32), v),
+        rtol=1e-4, atol=1e-5,  # f32 matrix vs f64 np.interp
+    )
+    np.testing.assert_allclose(u.sum(1), 1.0, atol=1e-6)
+
+    h = w = 64
+    img = synthetic_brain(h, w)
+    sim = simulate_motion_2d(jax.random.PRNGKey(2), img, n_movements=3)
+    base = small_cfg("lattice", "lattice", max_movements=4)
+    masks, _ = extract_movement_groups(sim.mask[0], w, 4)
+    model1 = build_immoco(dataclasses.replace(base, motion_res_factor=1), h, w)
+    model2 = build_immoco(dataclasses.replace(base, motion_res_factor=2), h, w)
+    # Zero the motion-INR parameters: both models then produce identity
+    # displacement fields, so the forwards must agree exactly.
+    p = model2.init(jax.random.PRNGKey(1))
+    p_zero_mot = {
+        "image": p["image"],
+        "motion": jax.tree.map(jnp.zeros_like, p["motion"]),
+    }
+    k1, i1 = model1.forward(
+        {"image": p_zero_mot["image"],
+         "motion": jax.tree.map(
+             jnp.zeros_like, model1.init(jax.random.PRNGKey(1))["motion"])},
+        masks, model1.statics,
+    )
+    k2, i2 = model2.forward(p_zero_mot, masks, model2.statics)
+    np.testing.assert_allclose(np.asarray(i1), np.asarray(i2), atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(jnp.abs(k1 - k2)).max(), 0.0, atol=1e-2
+    )
+
+
+def test_motion_res_factor_fit_quality_matches_fullres():
+    """A full fit at motion_res_factor=2 must land within a small margin of
+    the f=1 fit on the same corrupted slice (smooth-field assumption)."""
+    img = synthetic_brain(64, 64)
+    sim = simulate_motion_2d(jax.random.PRNGKey(2), img, n_movements=5)
+    ssims = {}
+    for f in (1, 2):
+        cfg = dataclasses.replace(
+            small_cfg("lattice", "lattice", iters=80, max_movements=8),
+            motion_res_factor=f,
+        )
+        masks, _ = extract_movement_groups(sim.mask[0], 64, cfg.max_movements)
+        r = motion_correct(sim.kspace, masks, cfg, key=jax.random.PRNGKey(3))
+        gt = jnp.abs(img)[None, None]
+        rec = jnp.abs(r.image)[None, None]
+        m = calmetric2d(center_crop_quarter(rec), center_crop_quarter(gt))
+        ssims[f] = float(m.ssim)
+    assert ssims[2] > ssims[1] - 0.02, ssims
