@@ -76,6 +76,7 @@ def main():
             warp_impl=os.environ.get("E2E_WARP", "pallas_tiled"),
             compute_dtype=os.environ.get("E2E_DTYPE", "bfloat16"),
             dc_replace=bool(int(os.environ.get("E2E_DC", "0"))),
+            motion_res_factor=int(os.environ.get("E2E_MOTRES", "1")),
         )
         corpus = _synthetic_corpus(n, 320, scenario, seed=2024)
         import time as _time
