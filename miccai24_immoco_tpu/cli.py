@@ -477,6 +477,9 @@ def _bench_like_fit_kwargs():
         "warp_impl": "pallas_tiled",
         "motion_disp_px": 30,
         "compute_dtype": "bfloat16",
+        # Coarse motion lattice, measured quality-neutral (PERFORMANCE.md
+        # round 2, bench default).
+        "motion_res_factor": 2,
     }
 
 

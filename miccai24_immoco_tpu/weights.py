@@ -26,11 +26,12 @@ _ROOT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 REGISTRY: Dict[str, str] = {
     "kld_synthetic": os.path.join(_ROOT, "artifacts", "kld_synthetic"),
     "kld_full": os.path.join(_ROOT, "artifacts", "kld_full"),
-    # Committed distribution checkpoint (reference recipe, but chans 16 /
-    # 5 pools instead of 32/6 so the weights fit in-repo — the reference
-    # arch would be 440 MB; reproduce it with
+    # Committed distribution checkpoint (28 MB): reference recipe (10000
+    # steps, 200-phantom 320^2 synthetic corpus, train_unet_denoiser.py
+    # loss/schedule) at chans 16 / 5 pools so the weights fit in-repo —
+    # the reference arch would be 440 MB; reproduce the full-size net with
     # `cli train-denoiser --synthetic 200 --size 320 --steps 10000
-    #  --chans 32 --pools 6`).
+    #  --chans 32 --pools 6`.
     "denoiser_full": os.path.join(_ROOT, "artifacts", "denoiser_full"),
     # AF+ metric U-Net, scaled bilevel training run (600 steps of the
     # 30-iteration unrolled recipe at 320^2 on one v5e; the full reference
