@@ -176,7 +176,23 @@ def cmd_train_denoiser(args):
 
     unet_kw = dict(in_chans=1, out_chans=1, chans=args.chans,
                    num_pool_layers=args.pools, norm="instance")
-    train, val = _train_kspace_stacks(args)
+    if getattr(args, "lesions", 0):
+        # The reference's fifth trainer, train_unet_denoiser_classification
+        # .py:62-72, is the SAME denoiser recipe pointed at the
+        # classification-corpus images (FFT'd on the fly) — here the
+        # synthetic lesion corpus stands in for the fastMRI+ bbox slices.
+        import jax
+
+        from miccai24_immoco_tpu.data.lesions import lesion_corpus
+        from miccai24_immoco_tpu.ops.fft import fft2c
+        from miccai24_immoco_tpu.utils.hostio import put_complex
+
+        corpus = lesion_corpus(args.lesions, args.size, args.size, seed=0)
+        ksp = jax.jit(fft2c)(put_complex(corpus["image"]))
+        n_val = max(args.lesions // 5, 1)
+        train, val = ksp[:-n_val], ksp[-n_val:]
+    else:
+        train, val = _train_kspace_stacks(args)
     net, params, best = train_denoiser(
         train, val, DenoiserTrainConfig(steps=args.steps), steps=args.steps,
         unet_cfg=UnetConfig(**unet_kw),
@@ -686,6 +702,9 @@ def build_parser() -> argparse.ArgumentParser:
     common_train(t)
     t.add_argument("--chans", type=int, default=32)
     t.add_argument("--pools", type=int, default=6)
+    t.add_argument("--lesions", type=int, default=0,
+                   help="train on the N-slice synthetic lesion corpus "
+                   "(the classification-task denoiser variant)")
     t.set_defaults(fn=cmd_train_denoiser)
 
     def common_eval(sp):
