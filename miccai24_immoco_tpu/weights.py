@@ -47,6 +47,14 @@ REGISTRY: Dict[str, str] = {
     "classifier_synthetic": os.path.join(
         _ROOT, "artifacts", "classifier_synthetic"
     ),
+    # The reference's fifth checkpoint, "unet_denoising_classification_task"
+    # (download_weights.py:26-29): the same denoiser recipe trained on the
+    # classification-corpus slices (train_unet_denoiser_classification.py;
+    # here the synthetic lesion corpus) — `cli train-denoiser --lesions 200
+    # --steps 10000 --chans 16 --pools 5`.
+    "denoiser_classification": os.path.join(
+        _ROOT, "artifacts", "denoiser_classification"
+    ),
 }
 
 
