@@ -115,3 +115,24 @@ def test_cli_eval_downstream_synthetic(capsys):
     out = capsys.readouterr().out
     stats = json.loads(out[out.index("{"):])
     assert "ssim" in stats and "rmse" in stats
+
+
+def test_cli_train_denoiser_lesion_corpus(tmp_path, capsys):
+    """--lesions: the classification-task denoiser variant — the same
+    recipe trained on lesion-corpus slices (reference
+    train_unet_denoiser_classification.py:62-72, the fifth distributed
+    checkpoint unet_denoising_classification_task)."""
+    ckpt = str(tmp_path / "dn_cls")
+    main(
+        [
+            "train-denoiser",
+            "--lesions", "6",
+            "--size", "48",
+            "--steps", "2",
+            "--chans", "4",
+            "--pools", "2",
+            "--out", ckpt,
+        ]
+    )
+    assert os.path.isdir(ckpt)
+    assert "saved" in capsys.readouterr().out
