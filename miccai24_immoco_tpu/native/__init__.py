@@ -225,10 +225,10 @@ class PackFile:
         return self.read(idx, count)
 
 
-# Matches PackHeader in immoco_native.cpp (packed by default on x86-64:
-# 4 + 4 + 8 + 4*3 = 28 bytes... the struct has natural alignment: magic(4)
-# version(4) n(8) h/w/c(12) -> 28, padded to 32 by int64 alignment? n at
-# offset 8 is aligned; total 28 rounds to 32? sizeof gives 32 on g++.
+# Matches PackHeader in immoco_native.cpp under x86-64 natural alignment:
+# magic(4) version(4) n(8 @offset 8) h/w/c(4 each @16/20/24) = 28 bytes of
+# fields, padded to sizeof == 32 by the struct's int64 alignment (verified
+# against g++; tests/test_native.py round-trips the layout).
 _HDR_DTYPE = np.dtype(
     {
         "names": ["magic", "version", "n", "h", "w", "c"],
