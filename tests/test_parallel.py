@@ -219,3 +219,27 @@ def test_tp_hash_encode_gradients_flow():
     )(tables)
     np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref),
                                rtol=1e-4, atol=1e-6)
+
+
+def test_tp2_fit_bit_matches_tp1_with_coarse_motion_lattice():
+    """motion_res_factor=2 threads the upsample matrices through statics;
+    the tp path must stay numerically identical to tp=1 with them."""
+    import dataclasses
+
+    ksp, masks = _batch()
+    cfg = dataclasses.replace(small_cfg(iters=6), motion_res_factor=2)
+    r_tp2 = batched_motion_correct(
+        ksp, masks, cfg, mesh=make_mesh(MeshConfig(dp=4, tp=2))
+    )
+    r_tp1 = batched_motion_correct(
+        ksp, masks, cfg, mesh=make_mesh(MeshConfig(dp=8, tp=1))
+    )
+    np.testing.assert_allclose(
+        np.asarray(r_tp2.losses), np.asarray(r_tp1.losses), rtol=1e-4, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(jnp.abs(r_tp2.image)),
+        np.asarray(jnp.abs(r_tp1.image)),
+        rtol=1e-4,
+        atol=1e-4,
+    )
