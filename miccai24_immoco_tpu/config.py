@@ -185,6 +185,20 @@ class InstanceFitConfig:
     # loss while cutting the motion-INR encode+MLP cost ~4x (the second-
     # largest per-iteration term after the warp — PERFORMANCE.md round 2).
     motion_res_factor: int = 1
+    # Polyak/EMA averaging of the INR parameters over late iterations
+    # (deliberate divergence, 0.0 = reference parity): the reference returns
+    # the final-iterate Image INR (immoco.py:206), but its lambda schedule
+    # drives the GE prior to ~0 after iters/2, so late iterations purely
+    # chase the measured (corrupted) k-space through the imperfect motion
+    # model — measured on the heavy scenario, the final iterate OVERFITS
+    # (400-iteration fits score 2-4 dB WORSE than 200).  With ema_decay d >
+    # 0, an exponential moving average of the parameters is accumulated
+    # from iteration floor(iters * ema_start_frac) on (before that it
+    # tracks the iterate exactly) and the output image is the EMA
+    # parameters' prediction — tail-iterate averaging that suppresses the
+    # DC-overfit noise at zero extra optimization cost.
+    ema_decay: float = 0.0
+    ema_start_frac: float = 0.5
 
 
 @dataclasses.dataclass(frozen=True)

@@ -73,6 +73,25 @@ def lambda_schedule(cfg: InstanceFitConfig) -> np.ndarray:
     return sched
 
 
+def ema_schedule(cfg: InstanceFitConfig) -> np.ndarray:
+    """(iters,) per-iteration EMA blend factor (cfg.ema_decay, see
+    config.py): 0 before floor(iters * ema_start_frac) — the EMA tracks the
+    iterate exactly — then ema_decay."""
+    betas = np.zeros(cfg.iters, np.float32)
+    betas[int(cfg.iters * cfg.ema_start_frac):] = cfg.ema_decay
+    return betas
+
+
+def fit_schedule(cfg: InstanceFitConfig) -> np.ndarray:
+    """Per-iteration scanned schedule: (iters,) lambda array at reference
+    parity, or (iters, 2) [lambda, ema_beta] columns when cfg.ema_decay > 0.
+    Row-sliceable by segment either way."""
+    lam = lambda_schedule(cfg)
+    if cfg.ema_decay > 0:
+        return np.stack([lam, ema_schedule(cfg)], axis=1)
+    return lam
+
+
 @dataclasses.dataclass(frozen=True)
 class IMMoCoModel:
     """Compiled-shape IM-MoCo forward model for (max_movements, H, W)."""
@@ -298,7 +317,8 @@ def make_instance_fit(
     mask-composed k-space sum.
     """
     cfg = model.cfg
-    lambdas = jnp.asarray(lambda_schedule(cfg))
+    sched = jnp.asarray(fit_schedule(cfg))
+    use_ema = cfg.ema_decay > 0
     opt = optax.adam(cfg.learning_rate, b1=cfg.b1, b2=cfg.b2, eps=cfg.eps)
     cp = constrain_params or (lambda p: p)
     cm = constrain_masks or (lambda m: m)
@@ -315,14 +335,26 @@ def make_instance_fit(
             k_out, image = model.forward(p, masks, statics)
             return real_pair_mse(k_out, k_in) + lam * gradient_entropy(image)
 
-        def step(carry, lam):
-            p, s = carry
+        def step(carry, x):
+            if use_ema:
+                p, s, e = carry
+                lam, beta = x[0], x[1]
+            else:
+                p, s = carry
+                lam = x
             loss, grads = jax.value_and_grad(loss_fn)(p, lam)
             updates, s = opt.update(grads, s)
             p = cp(optax.apply_updates(p, updates))
+            if use_ema:
+                e = jax.tree_util.tree_map(
+                    lambda a, b: beta * a + (1.0 - beta) * b, e, p
+                )
+                return (p, s, e), loss
             return (p, s), loss
 
-        (params, _), losses = jax.lax.scan(step, (params, opt_state), lambdas)
+        carry0 = (params, opt_state, params) if use_ema else (params, opt_state)
+        carry, losses = jax.lax.scan(step, carry0, sched)
+        params = carry[2] if use_ema else carry[0]
 
         k_fwd, image = model.forward(params, masks, statics)
         if cfg.dc_replace:
@@ -400,12 +432,17 @@ def make_segmented_fit(model: IMMoCoModel, segment_len: int = 25):
 
     Returns (init_fn, segment_fn, finalize_fn):
       init_fn(kspace, key, statics) -> (params, opt_state, k_in, scale)
-      segment_fn(params, opt_state, k_in, masks, lambdas_seg, statics)
+      segment_fn(params, opt_state, k_in, masks, sched_seg, statics)
           -> (params, opt_state, losses_seg)
       finalize_fn(params, k_in, masks, scale, statics) -> FitResult-less
           tuple (image, kspace_forward) at input scale
+
+    With cfg.ema_decay > 0 the ``params`` slot is a {"p", "e"} dict (iterate
+    + EMA, threaded opaquely by batched callers) and ``sched_seg`` rows are
+    [lambda, ema_beta] pairs (fit_schedule).
     """
     cfg = model.cfg
+    use_ema = cfg.ema_decay > 0
     opt = optax.adam(cfg.learning_rate, b1=cfg.b1, b2=cfg.b2, eps=cfg.eps)
 
     @jax.jit
@@ -413,42 +450,52 @@ def make_segmented_fit(model: IMMoCoModel, segment_len: int = 25):
         scale = jnp.abs(kspace).max()
         k_in = kspace / scale * cfg.kspace_scale
         params = model.init(key)
-        return params, opt.init(params), k_in, scale
+        state = {"p": params, "e": params} if use_ema else params
+        return state, opt.init(params), k_in, scale
 
     @jax.jit
-    def segment_fn(params, opt_state, k_in, masks, lambdas_seg, statics):
+    def segment_fn(params, opt_state, k_in, masks, sched_seg, statics):
         def loss_fn(p, lam):
             k_out, image = model.forward(p, masks, statics)
             return real_pair_mse(k_out, k_in) + lam * gradient_entropy(image)
 
-        def step(carry, lam):
-            p, s = carry
+        def step(carry, x):
+            if use_ema:
+                p, s, e = carry
+                lam, beta = x[0], x[1]
+            else:
+                p, s = carry
+                lam = x
             loss, grads = jax.value_and_grad(loss_fn)(p, lam)
             updates, s = opt.update(grads, s)
-            return (optax.apply_updates(p, updates), s), loss
+            p = optax.apply_updates(p, updates)
+            if use_ema:
+                e = jax.tree_util.tree_map(
+                    lambda a, b: beta * a + (1.0 - beta) * b, e, p
+                )
+                return (p, s, e), loss
+            return (p, s), loss
 
-        (params, opt_state), losses = jax.lax.scan(
-            step, (params, opt_state), lambdas_seg
-        )
-        return params, opt_state, losses
+        carry0 = ((params["p"], opt_state, params["e"]) if use_ema
+                  else (params, opt_state))
+        carry, losses = jax.lax.scan(step, carry0, sched_seg)
+        state = ({"p": carry[0], "e": carry[2]} if use_ema else carry[0])
+        return state, carry[1], losses
 
     @jax.jit
     def finalize_fn(params, k_in, masks, scale, statics):
-        k_fwd, image = model.forward(params, masks, statics)
+        k_fwd, image = model.forward(
+            params["e"] if use_ema else params, masks, statics
+        )
         if cfg.dc_replace:
             image = _dc_project(model, image, k_in, masks, statics)
         descale = scale / cfg.kspace_scale
         return image * descale, k_fwd * descale
 
     def run(kspace, masks, key, statics) -> FitResult:
-        lambdas = lambda_schedule(cfg)
-        n_seg = -(-cfg.iters // segment_len)
-        pad = n_seg * segment_len - cfg.iters
-        lambdas = np.concatenate([lambdas, np.zeros(pad, np.float32)])
+        lambdas = fit_schedule(cfg)
         # Padded tail segments would perturb params; instead run full
-        # segments and one short remainder via masking: simplest correct
-        # approach is exact-length segments when pad == 0, else a second
-        # compiled remainder graph.
+        # segments and one short remainder via a second compiled graph.
         params, opt_state, k_in, scale = init_fn(kspace, key, statics)
         losses = []
         full = cfg.iters // segment_len

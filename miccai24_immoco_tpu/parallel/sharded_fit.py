@@ -141,7 +141,7 @@ def make_batched_segmented_fit(
     import numpy as np
 
     from miccai24_immoco_tpu.models.immoco import (
-        lambda_schedule,
+        fit_schedule,
         make_segmented_fit,
     )
 
@@ -155,7 +155,7 @@ def make_batched_segmented_fit(
     vfin = jax.jit(jax.vmap(single.finalize_fn, in_axes=(0, 0, 0, 0, None)))
 
     def run(kspaces, masks, keys, statics) -> FitResult:
-        lambdas = lambda_schedule(cfg)
+        lambdas = fit_schedule(cfg)
         params, opt_state, k_in, scale = vinit(kspaces, keys, statics)
         losses = []
         full = cfg.iters // segment_len
