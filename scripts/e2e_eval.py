@@ -77,6 +77,8 @@ def main():
             compute_dtype=os.environ.get("E2E_DTYPE", "bfloat16"),
             dc_replace=bool(int(os.environ.get("E2E_DC", "0"))),
             motion_res_factor=int(os.environ.get("E2E_MOTRES", "1")),
+            ema_decay=float(os.environ.get("E2E_EMA", "0")),
+            ema_start_frac=float(os.environ.get("E2E_EMA_START", "0.5")),
         )
         corpus = _synthetic_corpus(n, 320, scenario, seed=2024)
         import time as _time
