@@ -65,6 +65,7 @@ def main():
 
     per_scenario = {}
     per_scenario_corrupt = {}
+    meta: dict = {"scenarios": {}}
     for scenario in scenarios:
         max_mov = 12 if scenario == "light" else 24
         cfg = InstanceFitConfig(
@@ -94,6 +95,22 @@ def main():
         wall = _time.time() - t0
         print(f"{scenario}: {wall:.1f}s wall for {n} slices "
               f"({wall/n:.2f} s/slice incl. detection+compile)", flush=True)
+        meta["scenarios"][scenario] = {
+            "n": n,
+            "wall_s_total": round(wall, 1),
+            "wall_s_per_slice": round(wall / n, 2),
+            "buckets": buckets,
+            "config": {
+                "iters": cfg.iters,
+                "max_movements": cfg.max_movements,
+                "warp_impl": cfg.warp_impl,
+                "compute_dtype": cfg.compute_dtype,
+                "motion_disp_px": cfg.motion_disp_px,
+                "motion_res_factor": cfg.motion_res_factor,
+                "dc_replace": cfg.dc_replace,
+                "ema_decay": cfg.ema_decay,
+            },
+        }
         per_scenario[scenario] = metrics
         per_scenario_corrupt[scenario] = corruption_metrics(corpus, n)
         print(scenario, "corrected:", aggregate(metrics), flush=True)
@@ -103,6 +120,13 @@ def main():
     out_dir = "results/e2e"
     save_report(per_scenario, out_dir, "immoco")
     save_report(per_scenario_corrupt, out_dir, "corrupted_baseline")
+    import json as _json
+
+    import jax as _jax
+
+    meta["device"] = str(_jax.devices()[0].device_kind)
+    with open(os.path.join(out_dir, "meta.json"), "w") as f:
+        _json.dump(meta, f, indent=2)
     print("reports in", out_dir, flush=True)
 
 
