@@ -69,6 +69,12 @@ def _synthetic_corpus(n: int, size: int, scenario: str, seed: int = 0):
     return {
         "kspace_motion": get_complex(sims.kspace),
         "image_rss": get_complex(images),
+        # Noise-free twin of image_rss (same RNG stream, texture-noise term
+        # zeroed) for the *_clean supplementary metrics — see
+        # data/synthetic.brain_phantom_np and eval/runners.run_immoco_batched.
+        "image_clean": get_complex(
+            phantom_stack(n, size, size, seed=seed, noise=False)
+        ),
         "mask": np.asarray(sims.mask),
     }
 

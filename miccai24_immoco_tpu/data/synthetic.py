@@ -16,8 +16,20 @@ import jax.numpy as jnp
 from miccai24_immoco_tpu.utils.hostio import put_complex
 
 
-def brain_phantom_np(h: int = 320, w: int = 320, seed: int = 5) -> np.ndarray:
-    """(h, w) complex64 phantom on host."""
+def brain_phantom_np(
+    h: int = 320, w: int = 320, seed: int = 5, noise: bool = True
+) -> np.ndarray:
+    """(h, w) complex64 phantom on host.
+
+    ``noise=False`` returns the same phantom with the additive texture-noise
+    term zeroed (the random draw is still consumed, so the structural RNG
+    stream — blob placement — is identical to the noisy variant).  Used as
+    the clean ground truth for the noise-floor-corrected PSNR protocol:
+    rigid k-space motion corruption is unitary, so a corrupted image keeps
+    the GT's exact noise realization and scores an inflated PSNR against the
+    noisy GT, while any denoising reconstruction is penalized by the
+    ~24-26 dB noisy-GT floor (PERFORMANCE.md, heavy-PSNR diagnosis).
+    """
     rng = np.random.default_rng(seed)
     yy, xx = np.mgrid[:h, :w].astype(np.float32)
     img = np.zeros((h, w), np.float32)
@@ -31,7 +43,8 @@ def brain_phantom_np(h: int = 320, w: int = 320, seed: int = 5) -> np.ndarray:
         img += rng.uniform(-0.35, 0.5) * np.exp(
             -(((yy - ccy) / ry) ** 2 + ((xx - ccx) / rx) ** 2)
         )
-    img += 0.05 * rng.standard_normal((h, w)).astype(np.float32)
+    tex = rng.standard_normal((h, w)).astype(np.float32)
+    img += 0.05 * tex if noise else 0.0
     img = np.clip(img, 0, None)
     phase = 0.4 * np.sin(yy / 23.0) * np.cos(xx / 17.0)
     return (img * np.exp(1j * phase)).astype(np.complex64)
@@ -42,8 +55,11 @@ def brain_phantom(h: int = 320, w: int = 320, seed: int = 5) -> jnp.ndarray:
     return put_complex(brain_phantom_np(h, w, seed))
 
 
-def phantom_stack(n: int, h: int = 320, w: int = 320, seed: int = 0) -> jnp.ndarray:
+def phantom_stack(
+    n: int, h: int = 320, w: int = 320, seed: int = 0, noise: bool = True
+) -> jnp.ndarray:
     """(n, h, w) complex64 stack of distinct phantoms."""
     return put_complex(
-        np.stack([brain_phantom_np(h, w, seed + i) for i in range(n)])
+        np.stack([brain_phantom_np(h, w, seed + i, noise=noise)
+                  for i in range(n)])
     )

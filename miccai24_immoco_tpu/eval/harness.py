@@ -50,6 +50,10 @@ def evaluate_slices(
 
 
 def aggregate(metrics: Sequence[Dict[str, float]]) -> Dict[str, Dict[str, float]]:
+    # Aggregate every key the per-slice dicts carry (METRIC_NAMES plus any
+    # supplementary columns, e.g. the *_clean noise-free-GT variants the
+    # synthetic protocol adds); LaTeX/violin outputs stay METRIC_NAMES-only.
+    keys = list(metrics[0].keys()) if metrics else list(METRIC_NAMES)
     return {
         k: {
             "mean": float(np.mean([m[k] for m in metrics])),
@@ -57,7 +61,7 @@ def aggregate(metrics: Sequence[Dict[str, float]]) -> Dict[str, Dict[str, float]
             if len(metrics) > 1
             else 0.0,
         }
-        for k in METRIC_NAMES
+        for k in keys
     }
 
 

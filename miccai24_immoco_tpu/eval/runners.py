@@ -167,6 +167,12 @@ def run_immoco_batched(
 
     ks_all = corpus["kspace_motion"]
     gt_all = corpus["image_rss"]
+    # Optional noise-free GT (synthetic corpora): adds *_clean supplementary
+    # metric columns — rigid k-space corruption is unitary, so corrupted
+    # images keep the noisy GT's exact noise realization and denoising
+    # reconstructions are PSNR-penalized against it (PERFORMANCE.md,
+    # heavy-PSNR diagnosis); the clean-GT columns remove that floor.
+    gt_clean_all = corpus.get("image_clean")
     masks_all = corpus.get("mask")
     n = ks_all.shape[0] if limit is None else min(limit, ks_all.shape[0])
     h, w = ks_all.shape[-2:]
@@ -230,6 +236,13 @@ def run_immoco_batched(
                 metrics_by_idx[i] = _metrics_dict(
                     result.image[j], put_complex(gt_all[i])
                 )
+                if gt_clean_all is not None:
+                    clean = _metrics_dict(
+                        result.image[j], put_complex(gt_clean_all[i])
+                    )
+                    metrics_by_idx[i].update(
+                        {f"{k}_clean": v for k, v in clean.items()}
+                    )
                 if collect_images and i == n - 1:
                     ksp_i = put_complex(ks_all[i])
                     last_images = {

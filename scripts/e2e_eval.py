@@ -44,14 +44,18 @@ def corruption_metrics(corpus, n):
         )
         return jnp.stack([m.ssim, m.psnr, m.haarpsi, m.rmse])
 
+    names = ("ssim", "psnr", "haar_psi", "rmse")
+    clean = corpus.get("image_clean")
     out = []
     for i in range(n):
-        vals = readback(
-            one(put_complex(corpus["kspace_motion"][i]),
-                put_complex(corpus["image_rss"][i]))
-        )
-        out.append(dict(zip(("ssim", "psnr", "haar_psi", "rmse"),
-                            map(float, vals))))
+        ksp = put_complex(corpus["kspace_motion"][i])
+        vals = readback(one(ksp, put_complex(corpus["image_rss"][i])))
+        d = dict(zip(names, map(float, vals)))
+        if clean is not None:
+            cvals = readback(one(ksp, put_complex(clean[i])))
+            d.update({f"{k}_clean": float(v)
+                      for k, v in zip(names, cvals)})
+        out.append(d)
     return out
 
 
