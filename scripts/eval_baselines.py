@@ -77,26 +77,31 @@ def main():
     )
     print("autofocusing:", aggregate(results["autofocusing"]), flush=True)
 
-    # U-Net denoiser (if a checkpoint is available).
+    # U-Net denoiser (if a checkpoint is available; arch from its metadata).
     if den_ckpt and os.path.exists(den_ckpt):
-        from miccai24_immoco_tpu.models.unet import build_denoiser
-        from miccai24_immoco_tpu.utils.checkpoint import restore
+        from miccai24_immoco_tpu.cli import _load_denoiser
 
-        results["unet_denoiser"] = run_denoiser(
-            corpus, build_denoiser(), restore(den_ckpt), limit=n
-        )
+        net, params = _load_denoiser(den_ckpt)
+        results["unet_denoiser"] = run_denoiser(corpus, net, params, limit=n)
         print("denoiser:", aggregate(results["unet_denoiser"]), flush=True)
 
-    # IM-MoCo.
+    # IM-MoCo — the measured-best TPU fit configuration (bench.py defaults,
+    # pre-warmed in .jax_cache; artifacts/e2e_round2_50slice config).
     cfg = InstanceFitConfig(
         iters=200,
         max_movements=max_mov,
         image_inr=ImageINRConfig(encoding="lattice"),
         motion_inr=MotionINRConfig(encoding="lattice"),
         motion_disp_px=30,
+        warp_impl=os.environ.get("E2E_WARP", "pallas_tiled"),
+        compute_dtype=os.environ.get("E2E_DTYPE", "bfloat16"),
+        dc_replace=bool(int(os.environ.get("E2E_DC", "1"))),
+        motion_res_factor=int(os.environ.get("E2E_MOTRES", "2")),
     )
+    buckets = [10] if scenario == "light" else [18]
     results["immoco"] = run_immoco_batched(
-        corpus, cfg, kld=kld, limit=n, batch_size=min(n, 4), segment_len=50
+        corpus, cfg, kld=kld, limit=n, batch_size=min(n, 4), segment_len=50,
+        buckets=buckets,
     )
     print("immoco:", aggregate(results["immoco"]), flush=True)
 
