@@ -236,7 +236,9 @@ def cmd_eval_immoco(args):
 
     from miccai24_immoco_tpu.eval.harness import comparison_figure
 
-    cfg = InstanceFitConfig(iters=args.iters)
+    # Reference hyperparameters + the measured-best TPU execution config
+    # (lattice encodings, Pallas tiled warp, bf16 compute) on accelerators.
+    cfg = InstanceFitConfig(iters=args.iters, **_bench_like_fit_kwargs())
     kld = _load_kld(args)
     buckets = (
         tuple(int(b) for b in args.buckets.split(",")) if args.buckets else None
@@ -493,9 +495,16 @@ def _bench_like_fit_kwargs():
     """The measured-best TPU fit configuration (bench.py defaults)."""
     import jax
 
+    from miccai24_immoco_tpu.config import ImageINRConfig, MotionINRConfig
+
     if jax.default_backend() == "cpu":
         return {}
     return {
+        # Separable lattice encoding (MXU matmuls): the hash default is a
+        # gather-based path — the documented anti-pattern on this TPU
+        # (PERFORMANCE.md "What the time went to").
+        "image_inr": ImageINRConfig(encoding="lattice"),
+        "motion_inr": MotionINRConfig(encoding="lattice"),
         "warp_impl": "pallas_tiled",
         "motion_disp_px": 30,
         "compute_dtype": "bfloat16",
