@@ -30,10 +30,17 @@ import jax.numpy as jnp
 
 
 def _load_ckpt(path):
-    import orbax.checkpoint as ocp
+    """Restore an orbax checkpoint from a path OR a weights-registry name
+    (mirrors the reference's named five-checkpoint distribution,
+    download_weights.py:10-33)."""
+    from miccai24_immoco_tpu import weights as W
+    from miccai24_immoco_tpu.utils.checkpoint import restore
 
-    ckpt = ocp.StandardCheckpointer()
-    return ckpt.restore(os.path.abspath(path))
+    try:
+        path = W.path_of(path)
+    except KeyError:
+        pass
+    return restore(os.path.abspath(path))
 
 
 def _unwrap_params(tree):
