@@ -1,0 +1,45 @@
+"""Weight-distribution guarantees (reference download_weights.py:10-33).
+
+The reference ships five checkpoints (kLDNet, unet_denoising,
+unet_denoising_classification_task, classification_model, AFPlus).  This
+framework's analogs are committed orbax checkpoints resolved by name via
+``weights.REGISTRY``; this test is the fresh-clone guarantee that every
+*committed* distribution entry actually restores.
+
+``afplus_scaled`` is the one machine-local exception (a ~0.4 GB bilevel
+training checkpoint, gitignored; see weights.py for the retraining
+recipe) — it is asserted to be registered but allowed to be absent.
+"""
+
+import pytest
+
+from miccai24_immoco_tpu import weights
+
+# Entries that must ship in-repo (fresh-clone loadable).
+COMMITTED = (
+    "kld_synthetic",
+    "kld_full",
+    "denoiser_full",
+    "denoiser_classification",
+    "classifier_synthetic",
+)
+
+# Registered but machine-local (documented in weights.py).
+LOCAL_ONLY = ("afplus_scaled",)
+
+
+def test_registry_is_exactly_the_documented_set():
+    assert set(weights.REGISTRY) == set(COMMITTED) | set(LOCAL_ONLY)
+
+
+@pytest.mark.parametrize("name", COMMITTED)
+def test_committed_weights_restore(name):
+    assert weights.available(name), (
+        f"registry entry {name!r} missing from artifacts/ — distribution "
+        "checkpoints must be committed (VERDICT round-1 item 5)"
+    )
+    params, meta = weights.load(name)
+    assert params is not None
+    # Every distribution checkpoint carries its arch metadata so loaders
+    # can rebuild the right network (cli._load_denoiser pattern).
+    assert isinstance(meta, dict)
