@@ -5,13 +5,24 @@ university cloud (src/model_weights/download_weights.py:10-33).  This
 framework keeps versioned orbax checkpoints in-repo (or any mounted path)
 under symbolic names; ``load(name)`` returns (params, metadata).
 
-Registered artifacts shipped with the repo:
+Registered artifacts shipped with the repo (the analog of the reference's
+five-checkpoint distribution; tests/test_weights_registry.py is the
+fresh-clone restore guarantee):
 
 - ``kld_synthetic``: klD-Net line detector trained on synthetic phantoms
   (320^2, on-the-fly motion simulation, 300 steps) — the round-1 stand-in.
 - ``kld_full``: klD-Net trained with the FULL reference recipe (4200 steps,
   seed 128, AdamW 1e-4 + cosine warm restarts, dice-gated best checkpoint
-  — train_kld_net.py:22-32) on the 200-phantom synthetic corpus.
+  — train_kld_net.py:22-32) on the 200-phantom synthetic corpus; held-out
+  dice 0.9996.
+- ``denoiser_full``: image-space U-Net denoiser, 10000-step reference
+  recipe ("unet_denoising").
+- ``denoiser_classification``: the same recipe on the synthetic lesion
+  corpus ("unet_denoising_classification_task").
+- ``classifier_synthetic``: ResNet-18 lesion-patch classifier
+  ("classification_model").
+- ``afplus_scaled``: AF+ metric U-Net — machine-local only (see entry
+  comment), the one uncommitted analog ("AFPlus").
 """
 
 from __future__ import annotations
