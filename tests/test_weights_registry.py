@@ -32,6 +32,16 @@ def test_registry_is_exactly_the_documented_set():
     assert set(weights.REGISTRY) == set(COMMITTED) | set(LOCAL_ONLY)
 
 
+def test_cli_ckpt_accepts_registry_names():
+    import jax.tree_util as jtu
+
+    from miccai24_immoco_tpu.cli import _load_ckpt
+
+    by_name = _load_ckpt("kld_full")
+    by_path = _load_ckpt(weights.path_of("kld_full"))
+    assert jtu.tree_structure(by_name) == jtu.tree_structure(by_path)
+
+
 @pytest.mark.parametrize("name", COMMITTED)
 def test_committed_weights_restore(name):
     assert weights.available(name), (
