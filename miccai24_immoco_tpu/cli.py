@@ -366,7 +366,9 @@ def cmd_train_classifier(args):
         z = np.load(args.patches_npz)
         patches, labels = z["patches"], z["labels"]
     elif args.lesions:
-        patches, labels = _lesion_patches(args.lesions, args.size)
+        patches, labels = _lesion_patches(
+            args.lesions, args.size, variant=args.variant
+        )
     else:
         rng = np.random.default_rng(0)
         n = args.synthetic
@@ -387,12 +389,14 @@ def cmd_train_classifier(args):
         {"head_params": state["head_params"], "backbone": state["backbone"],
          "batch_stats": state["batch_stats"]},
         {"seed": cfg.seed, "train_backbone": cfg.train_backbone,
-         "steps": cfg.steps, "source": "lesions" if args.lesions else "npz"},
+         "steps": cfg.steps, "variant": args.variant,
+         "source": "lesions" if args.lesions else "npz"},
     )
     print(f"saved {args.out}")
 
 
-def _lesion_patches(n: int, size: int, seed: int = 0):
+def _lesion_patches(n: int, size: int, seed: int = 0,
+                    variant: str = "distinct"):
     """Motion-free 124^2 patches at lesion centers from the synthetic
     lesion corpus (data/lesions.py) — the stand-in for the reference's
     fastMRI+ patch dataset (classification_utils.py:346-393)."""
@@ -402,7 +406,7 @@ def _lesion_patches(n: int, size: int, seed: int = 0):
     from miccai24_immoco_tpu.eval.downstream import extract_patches
     from miccai24_immoco_tpu.utils.hostio import put_complex
 
-    corpus = lesion_corpus(n, size, size, seed=seed)
+    corpus = lesion_corpus(n, size, size, seed=seed, variant=variant)
     patches = []
     for i in range(n):
         img = jnp.abs(put_complex(corpus["image"][i]))
@@ -436,7 +440,8 @@ def cmd_eval_classification(args):
     from miccai24_immoco_tpu.utils.hostio import put_complex
 
     eval_acc = make_eval_from_checkpoint(W.path_of(args.weights))
-    corpus = lesion_corpus(args.lesions, args.size, args.size, seed=1000)
+    corpus = lesion_corpus(args.lesions, args.size, args.size, seed=1000,
+                           variant=args.variant)
     n = args.lesions
     cfg = InstanceFitConfig(
         iters=args.iters,
@@ -768,6 +773,10 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--synthetic", type=int, default=32)
     t.add_argument("--lesions", type=int, default=0,
                    help="train on N synthetic lesion-corpus patches")
+    t.add_argument("--variant", default="distinct",
+                   choices=("distinct", "subtle"),
+                   help="lesion-corpus variant (data/lesions.py: 'subtle' "
+                   "carries a fine ring-vs-blob cue that motion destroys)")
     t.add_argument("--size", type=int, default=320)
     t.add_argument("--train-backbone", action="store_true")
     t.add_argument("--steps", type=int, required=True)
@@ -777,6 +786,8 @@ def build_parser() -> argparse.ArgumentParser:
     e = sub.add_parser("eval-classification")
     e.add_argument("--weights", default="classifier_synthetic")
     e.add_argument("--denoiser", default="denoiser_full")
+    e.add_argument("--variant", default="distinct",
+                   choices=("distinct", "subtle"))
     e.add_argument("--lesions", type=int, default=32)
     e.add_argument("--size", type=int, default=320)
     e.add_argument("--iters", type=int, default=200)

@@ -26,10 +26,29 @@ import numpy as np
 
 
 def lesion_phantom_np(
-    h: int = 320, w: int = 320, seed: int = 0, cls: int = 0
+    h: int = 320, w: int = 320, seed: int = 0, cls: int = 0,
+    variant: str = "distinct",
 ) -> tuple[np.ndarray, np.ndarray]:
-    """-> ((h, w) complex64 phantom, (2,) normalized (x, y) lesion center)."""
-    rng = np.random.default_rng(seed * 2 + cls)
+    """-> ((h, w) complex64 phantom, (2,) normalized (x, y) lesion center).
+
+    ``variant``:
+
+    - ``"distinct"`` (default, the shipped ``classifier_synthetic`` corpus):
+      white-matter blob vs craniotomy — a gross morphological difference
+      that survives motion corruption, so classifier accuracy saturates at
+      1.0 under every condition (no condition gap to report).
+    - ``"subtle"``: both classes are a small parenchymal lesion at the SAME
+      rng-drawn location over a CLASS-INDEPENDENT background (the anatomy
+      stream is seeded by ``seed`` alone, so lesion morphology is the only
+      class signal): class 0 a solid Gaussian blob, class 1 a thin
+      ring-enhancing rim of the same extent.  The rim is a fine
+      high-frequency cue that motion ghosting destroys, reproducing the
+      reference protocol's *condition gap* (test_classification.py:65-100:
+      accuracy drops under corruption, recovers under correction) on
+      synthetic data.
+    """
+    rng = (np.random.default_rng(seed) if variant == "subtle"
+           else np.random.default_rng(seed * 2 + cls))
     yy, xx = np.mgrid[:h, :w].astype(np.float32)
     cy, cx = h / 2, w / 2
     ry_ax, rx_ax = 0.42 * h, 0.36 * w
@@ -43,7 +62,22 @@ def lesion_phantom_np(
             -(((yy - ccy) / bry) ** 2 + ((xx - ccx) / brx) ** 2)
         )
 
-    if cls == 0:
+    if variant == "subtle":
+        ang = rng.uniform(0, 2 * np.pi)
+        rad = rng.uniform(0.15, 0.55)
+        ly = cy + rad * ry_ax * np.sin(ang)
+        lx = cx + rad * rx_ax * np.cos(ang)
+        amp = rng.uniform(0.45, 0.6)
+        d2 = (yy - ly) ** 2 + (xx - lx) ** 2
+        if cls == 0:
+            # Solid blob: Gaussian disc, sigma ~4.5 px.
+            img += amp * np.exp(-d2 / 4.5**2)
+        else:
+            # Ring-enhancing rim: thin (sigma 1.8 px) shell at radius 7 px —
+            # same footprint and brightness as the blob; only the internal
+            # fine structure differs.
+            img += amp * np.exp(-((np.sqrt(d2) - 7.0) ** 2) / 1.8**2)
+    elif cls == 0:
         # White-matter-like lesion: bright compact blob in the parenchyma.
         ang = rng.uniform(0, 2 * np.pi)
         rad = rng.uniform(0.15, 0.55)
@@ -79,14 +113,16 @@ def lesion_phantom_np(
 
 
 def lesion_corpus(
-    n: int, h: int = 320, w: int = 320, seed: int = 0
+    n: int, h: int = 320, w: int = 320, seed: int = 0,
+    variant: str = "distinct",
 ) -> Dict[str, np.ndarray]:
     """Balanced corpus: dict(image (n,h,w) complex64, centers (n,2) f32,
     labels (n,) int32). Even indices class 0, odd class 1."""
     imgs, centers, labels = [], [], []
     for i in range(n):
         cls = i % 2
-        ph, c = lesion_phantom_np(h, w, seed=seed + i, cls=cls)
+        ph, c = lesion_phantom_np(h, w, seed=seed + i, cls=cls,
+                                  variant=variant)
         imgs.append(ph)
         centers.append(c)
         labels.append(cls)
