@@ -229,8 +229,13 @@ def run_immoco_batched(
             idx_padded = idx + [idx[-1]] * pad  # padded fits dropped below
             ksp = put_complex(ks_all[idx_padded])
             masks = jnp.stack([slice_masks[i][:size] for i in idx_padded])
-            key, sub = jax.random.split(key)
-            keys = jax.random.split(sub, batch_size)
+            # Per-slice deterministic init keys: fold_in by corpus index so a
+            # slice's fit is invariant to batch composition / bucket routing
+            # (a batch-order split made results depend on which slices shared
+            # a batch — observed ~3 dB PSNR spread on heavy slice 16).
+            keys = jnp.stack(
+                [jax.random.fold_in(key, i) for i in idx_padded]
+            )
             result = run(ksp, masks, keys, model.statics)
             for j, i in enumerate(idx):
                 metrics_by_idx[i] = _metrics_dict(
