@@ -31,6 +31,7 @@ from miccai24_immoco_tpu.config import (
     MotionINRConfig,
 )
 from miccai24_immoco_tpu.eval.runners import _metrics_dict
+from miccai24_immoco_tpu.ops.losses import gradient_entropy
 from miccai24_immoco_tpu.models.immoco import build_immoco
 from miccai24_immoco_tpu.ops.masks import extract_movement_groups
 from miccai24_immoco_tpu.parallel.sharded_fit import make_batched_segmented_fit
@@ -71,19 +72,25 @@ def main():
         r = run(ksp_b, masks_b, keys, model.statics)
         tail_loss = np.asarray(r.losses)[:, -10:].mean(0) if r.losses.ndim == 2 \
             else np.asarray(r.losses)[-10:]
+        ges = np.asarray(jax.jit(jax.vmap(gradient_entropy))(r.image))
         print(f"slice {i}:")
         rows = []
         for s in range(k_seeds):
             m = _metrics_dict(r.image[s], put_complex(corpus["image_rss"][i]))
             loss_s = float(np.asarray(r.losses)[s, -10:].mean()) \
                 if np.asarray(r.losses).ndim == 2 else float("nan")
-            rows.append((s, m["psnr"], m["ssim"], loss_s))
+            rows.append((s, m["psnr"], m["ssim"], loss_s, float(ges[s])))
             print(f"  seed {s}: psnr {m['psnr']:6.2f} ssim {m['ssim']:.4f} "
-                  f"final_loss {loss_s:.6f}")
+                  f"final_loss {loss_s:.6f} ge {float(ges[s]):.4f}")
         ps = np.array([r_[1] for r_ in rows])
         ls = np.array([r_[3] for r_ in rows])
+        ge = np.array([r_[4] for r_ in rows])
+        pick = int(np.argmin(ge))
         print(f"  spread {ps.max() - ps.min():.2f} dB; "
-              f"corr(loss, psnr) {np.corrcoef(ls, ps)[0, 1]:+.3f}")
+              f"corr(loss, psnr) {np.corrcoef(ls, ps)[0, 1]:+.3f}; "
+              f"corr(ge, psnr) {np.corrcoef(ge, ps)[0, 1]:+.3f}; "
+              f"min-GE pick psnr {ps[pick]:.2f} (best {ps.max():.2f}, "
+              f"mean {ps.mean():.2f})")
 
 
 if __name__ == "__main__":
