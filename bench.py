@@ -85,6 +85,16 @@ def main():
         # identical quality (ssim 0.9863 vs 0.9866, PERFORMANCE.md round 2);
         # BENCH_MOTRES=4 gives 2.58 with a slight ssim dip (0.9849).
         motion_res_factor=int(os.environ.get("BENCH_MOTRES", "2")),
+        # Coarse-to-fine: BENCH_C2F iterations against the center-cropped
+        # k-space on a BENCH_CSIZE^2 raster first (0 = off; see config.py).
+        # Default 75@256 is the measured light-scenario optimum (2.34
+        # s/slice, ssim 0.9891/psnr 35.12 — strictly dominates the non-c2f
+        # 2.72/0.9866/35.07); for heavy (BENCH_NMOV=18 BENCH_MAXMOV=24) use
+        # BENCH_C2F=50, which dominates the heavy baseline (5.83 s/slice,
+        # ssim 0.9695/psnr 31.34 vs 6.52/0.9612/31.01) — longer coarse
+        # phases degrade heavy quality (PERFORMANCE.md c2f table).
+        coarse_iters=int(os.environ.get("BENCH_C2F", "75")),
+        coarse_size=int(os.environ.get("BENCH_CSIZE", "256")),
     )
 
     images = phantom_stack(batch, size, size, seed=0)

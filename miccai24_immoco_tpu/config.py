@@ -149,7 +149,9 @@ class InstanceFitConfig:
     # output so |displacement| <= motion_disp_px (reference allows the full
     # +-1 normalized range = +-half the image; protocol motions are <=~30 px
     # at the corners). Required by the banded warp; None = full range.
-    motion_disp_px: Optional[int] = None
+    # (Float-valued for derived configs: the coarse c2f companion scales
+    # the cap by the raster ratio, models/immoco.py build_immoco.)
+    motion_disp_px: Optional[float] = None
     # Banded-warp block size (0 = dense one-hots). Exactness requires
     # motion_disp_px <= warp_band_px - 2; 32/30 cuts warp FLOPs 3.3x.
     warp_band_px: int = 0
@@ -199,6 +201,21 @@ class InstanceFitConfig:
     # DC-overfit noise at zero extra optimization cost.
     ema_decay: float = 0.0
     ema_start_frac: float = 0.5
+    # Coarse-to-fine fitting (deliberate divergence, 0 = reference parity):
+    # the first ``coarse_iters`` of the fit run against the CENTER-CROPPED
+    # k-space on a ``coarse_size``^2 raster (classic multiresolution
+    # registration — the motion/image landscape is smoother at low
+    # frequency, and the per-iteration warp cost scales with raster area),
+    # then the SAME parameters/optimizer state continue at full resolution
+    # for the remaining iterations.  Both INRs are parameterized at the
+    # full-resolution lattice throughout (models/inr.py ``param_shape``), so
+    # the hand-off is a pure raster switch: no re-initialization, Adam
+    # moments carry over, and the lambda schedule continues (GE is an
+    # unnormalized sum, so the coarse stage's lambda is scaled by the pixel-
+    # count ratio to preserve the prior/data balance).  coarse_size=0 picks
+    # the largest warp-tile multiple <= 0.6 * min(H, W).
+    coarse_iters: int = 0
+    coarse_size: int = 0
 
 
 @dataclasses.dataclass(frozen=True)

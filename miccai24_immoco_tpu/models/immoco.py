@@ -104,6 +104,10 @@ class IMMoCoModel:
     # Statics: device arrays that jitted callers MUST receive as arguments
     # (never closure constants — see models/inr.py statics discipline).
     statics: Any
+    # Coarse-raster companion model for cfg.coarse_iters > 0 (same parameter
+    # trees via models/inr.py param_shape; its statics ride along under
+    # statics["coarse"]).  None when coarse-to-fine is off.
+    coarse: Optional["IMMoCoModel"] = None
 
     def init(self, key) -> Dict[str, Any]:
         k1, k2 = jax.random.split(key)
@@ -257,13 +261,110 @@ def _upsample_matrix(n: int, m: int) -> jnp.ndarray:
     return jax.nn.relu(1.0 - jnp.abs(pos[:, None] - src[None, :]))
 
 
-def build_immoco(cfg: InstanceFitConfig, height: int, width: int) -> IMMoCoModel:
+def coarse_hw(cfg: InstanceFitConfig, height: int, width: int) -> Tuple[int, int]:
+    """Coarse raster for the c2f fit: cfg.coarse_size, or the largest
+    warp-tile multiple <= 0.6 * extent.  Both axes use the SAME ratio so the
+    normalized displacement bound (2 * disp_px / extent) transfers exactly."""
+    tile = (cfg.warp_pallas_tile_px if cfg.warp_impl == "pallas_tiled"
+            else 32)
+    if cfg.coarse_size:
+        hc = int(cfg.coarse_size)
+    else:
+        hc = max((int(0.6 * height) // tile) * tile, tile)
+    wc = hc * width // height
+    if wc * height != hc * width:
+        raise ValueError(
+            f"coarse raster {hc} does not preserve the {height}x{width} "
+            "aspect ratio (displacement-bound transfer requires hc/H == wc/W)"
+        )
+    f = max(int(cfg.motion_res_factor), 1)
+    if hc % f or wc % f or (height - hc) % 2 or (width - wc) % 2:
+        raise ValueError(
+            f"coarse raster ({hc}, {wc}) must be motion_res_factor-divisible "
+            "with an even crop margin"
+        )
+    if cfg.warp_impl == "pallas_tiled" and (hc % tile or wc % tile):
+        raise ValueError(
+            f"coarse raster ({hc}, {wc}) must be divisible by "
+            f"warp_pallas_tile_px={tile} for warp_impl='pallas_tiled'"
+        )
+    return hc, wc
+
+
+def _coarse_crop(model: "IMMoCoModel", k_in: jnp.ndarray, masks: jnp.ndarray):
+    """Center-crop normalized k-space + movement masks to the coarse raster.
+
+    The sqrt(area-ratio) factor makes the coarse ortho-IFFT image carry the
+    SAME pixel amplitudes as the full-resolution image (for a band-limited
+    image under centered ortho DFTs, K_coarse ~= K_full *
+    sqrt(hc*wc / (H*W)) on the shared low frequencies), so the Image INR's
+    parameters transfer across the raster switch without an amplitude jump.
+    """
+    cm = model.coarse
+    dh = (model.height - cm.height) // 2
+    dw = (model.width - cm.width) // 2
+    ratio = float(
+        np.sqrt((cm.height * cm.width) / (model.height * model.width))
+    )
+    k_c = k_in[dh : dh + cm.height, dw : dw + cm.width] * ratio
+    m_c = masks[:, dh : dh + cm.height, dw : dw + cm.width]
+    return k_c, m_c
+
+
+def _coarse_lambda_scale(model: "IMMoCoModel") -> float:
+    """GE is an unnormalized pixel sum while the data term is a mean
+    (ops/losses.py), so the coarse stage scales lambda by the pixel-count
+    ratio to preserve the prior/data balance (config.py coarse_iters)."""
+    cm = model.coarse
+    return (model.height * model.width) / float(cm.height * cm.width)
+
+
+def _scale_coarse_sched(sched: np.ndarray, lam_scale: float) -> np.ndarray:
+    """Apply the coarse-stage lambda scale to a fit_schedule slice (the
+    lambda column only — EMA betas, if present, pass through)."""
+    sched = np.array(sched, copy=True)
+    if sched.ndim == 2:
+        sched[:, 0] *= lam_scale
+    else:
+        sched *= lam_scale
+    return sched
+
+
+def fit_windows(cfg: InstanceFitConfig, segment_len: int):
+    """[(start, end, is_coarse)] segment windows for a (possibly c2f) fit:
+    the coarse phase (first min(coarse_iters, iters) iterations) then the
+    full-resolution phase, each chopped into <= segment_len runs; phase
+    boundaries never straddle a segment."""
+    ci = min(max(cfg.coarse_iters, 0), cfg.iters)
+    out = []
+    for a, b, coarse in ((0, ci, True), (ci, cfg.iters, False)):
+        s = a
+        while s < b:
+            e = min(s + segment_len, b)
+            out.append((s, e, coarse))
+            s = e
+    return out
+
+
+def build_immoco(
+    cfg: InstanceFitConfig,
+    height: int,
+    width: int,
+    _param_hw: Optional[Tuple[int, int]] = None,
+) -> IMMoCoModel:
     dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
-    image_inr = build_inr(cfg.image_inr, (height, width), compute_dtype=dtype)
     f = max(int(cfg.motion_res_factor), 1)
     mh, mw = height // f, width // f
+    image_inr = build_inr(
+        cfg.image_inr, (height, width), compute_dtype=dtype,
+        param_shape=_param_hw,
+    )
     motion_inr = build_inr(
-        cfg.motion_inr, (cfg.max_movements, mh, mw), compute_dtype=dtype
+        cfg.motion_inr, (cfg.max_movements, mh, mw), compute_dtype=dtype,
+        param_shape=(
+            None if _param_hw is None
+            else (cfg.max_movements, _param_hw[0] // f, _param_hw[1] // f)
+        ),
     )
     id_grid = jax.jit(identity_grid, static_argnums=(0, 1))(
         (height, width), True
@@ -285,6 +386,23 @@ def build_immoco(cfg: InstanceFitConfig, height: int, width: int) -> IMMoCoModel
         )
     if cfg.kspace_op == "dft_mm":
         statics["dft"] = centered_dft_statics(height, width)
+    coarse = None
+    if cfg.coarse_iters > 0 and _param_hw is None:
+        hc, wc = coarse_hw(cfg, height, width)
+        ccfg = dataclasses.replace(
+            cfg,
+            coarse_iters=0,
+            # Same NORMALIZED displacement bound: the tanh scale in forward
+            # is 2 * disp_px / extent, so the pixel cap shrinks with the
+            # raster (coarse_hw guarantees hc/H == wc/W exactly).
+            motion_disp_px=(
+                None
+                if cfg.motion_disp_px is None
+                else cfg.motion_disp_px * hc / height
+            ),
+        )
+        coarse = build_immoco(ccfg, hc, wc, _param_hw=(height, width))
+        statics["coarse"] = coarse.statics
     return IMMoCoModel(
         cfg=cfg,
         height=height,
@@ -292,6 +410,7 @@ def build_immoco(cfg: InstanceFitConfig, height: int, width: int) -> IMMoCoModel
         image_inr=image_inr,
         motion_inr=motion_inr,
         statics=statics,
+        coarse=coarse,
     )
 
 
@@ -317,7 +436,13 @@ def make_instance_fit(
     mask-composed k-space sum.
     """
     cfg = model.cfg
-    sched = jnp.asarray(fit_schedule(cfg))
+    sched_np = fit_schedule(cfg)
+    ci = min(max(cfg.coarse_iters, 0), cfg.iters) if model.coarse else 0
+    if ci:
+        sched_c = jnp.asarray(
+            _scale_coarse_sched(sched_np[:ci], _coarse_lambda_scale(model))
+        )
+    sched = jnp.asarray(sched_np[ci:])
     use_ema = cfg.ema_decay > 0
     opt = optax.adam(cfg.learning_rate, b1=cfg.b1, b2=cfg.b2, eps=cfg.eps)
     cp = constrain_params or (lambda p: p)
@@ -331,29 +456,51 @@ def make_instance_fit(
         params = cp(model.init(key))
         opt_state = opt.init(params)
 
-        def loss_fn(p, lam):
-            k_out, image = model.forward(p, masks, statics)
-            return real_pair_mse(k_out, k_in) + lam * gradient_entropy(image)
-
-        def step(carry, x):
-            if use_ema:
-                p, s, e = carry
-                lam, beta = x[0], x[1]
-            else:
-                p, s = carry
-                lam = x
-            loss, grads = jax.value_and_grad(loss_fn)(p, lam)
-            updates, s = opt.update(grads, s)
-            p = cp(optax.apply_updates(p, updates))
-            if use_ema:
-                e = jax.tree_util.tree_map(
-                    lambda a, b: beta * a + (1.0 - beta) * b, e, p
+        def make_step(fwd_model, k_target, mask_arg, st):
+            def loss_fn(p, lam):
+                k_out, image = fwd_model.forward(p, mask_arg, st)
+                return real_pair_mse(k_out, k_target) + lam * gradient_entropy(
+                    image
                 )
-                return (p, s, e), loss
-            return (p, s), loss
 
-        carry0 = (params, opt_state, params) if use_ema else (params, opt_state)
-        carry, losses = jax.lax.scan(step, carry0, sched)
+            def step(carry, x):
+                if use_ema:
+                    p, s, e = carry
+                    lam, beta = x[0], x[1]
+                else:
+                    p, s = carry
+                    lam = x
+                loss, grads = jax.value_and_grad(loss_fn)(p, lam)
+                updates, s = opt.update(grads, s)
+                p = cp(optax.apply_updates(p, updates))
+                if use_ema:
+                    e = jax.tree_util.tree_map(
+                        lambda a, b: beta * a + (1.0 - beta) * b, e, p
+                    )
+                    return (p, s, e), loss
+                return (p, s), loss
+
+            return step
+
+        carry = (params, opt_state, params) if use_ema else (params, opt_state)
+        loss_segs = []
+        if ci:
+            # Coarse phase: same params/optimizer, center-cropped k-space on
+            # the coarse raster (config.py coarse_iters).
+            k_c, m_c = _coarse_crop(model, k_in, masks)
+            carry, l_c = jax.lax.scan(
+                make_step(model.coarse, k_c, m_c, statics["coarse"]),
+                carry,
+                sched_c,
+            )
+            loss_segs.append(l_c)
+        carry, l_f = jax.lax.scan(
+            make_step(model, k_in, masks, statics), carry, sched
+        )
+        loss_segs.append(l_f)
+        losses = (
+            jnp.concatenate(loss_segs) if len(loss_segs) > 1 else loss_segs[0]
+        )
         params = carry[2] if use_ema else carry[0]
 
         k_fwd, image = model.forward(params, masks, statics)
@@ -453,34 +600,50 @@ def make_segmented_fit(model: IMMoCoModel, segment_len: int = 25):
         state = {"p": params, "e": params} if use_ema else params
         return state, opt.init(params), k_in, scale
 
-    @jax.jit
-    def segment_fn(params, opt_state, k_in, masks, sched_seg, statics):
-        def loss_fn(p, lam):
-            k_out, image = model.forward(p, masks, statics)
-            return real_pair_mse(k_out, k_in) + lam * gradient_entropy(image)
+    def _make_segment(coarse: bool):
+        fwd_model = model.coarse if coarse else model
 
-        def step(carry, x):
-            if use_ema:
-                p, s, e = carry
-                lam, beta = x[0], x[1]
+        @jax.jit
+        def segment_fn(params, opt_state, k_in, masks, sched_seg, statics):
+            if coarse:
+                k_in, masks = _coarse_crop(model, k_in, masks)
+                st = statics["coarse"]
             else:
-                p, s = carry
-                lam = x
-            loss, grads = jax.value_and_grad(loss_fn)(p, lam)
-            updates, s = opt.update(grads, s)
-            p = optax.apply_updates(p, updates)
-            if use_ema:
-                e = jax.tree_util.tree_map(
-                    lambda a, b: beta * a + (1.0 - beta) * b, e, p
-                )
-                return (p, s, e), loss
-            return (p, s), loss
+                st = statics
 
-        carry0 = ((params["p"], opt_state, params["e"]) if use_ema
-                  else (params, opt_state))
-        carry, losses = jax.lax.scan(step, carry0, sched_seg)
-        state = ({"p": carry[0], "e": carry[2]} if use_ema else carry[0])
-        return state, carry[1], losses
+            def loss_fn(p, lam):
+                k_out, image = fwd_model.forward(p, masks, st)
+                return real_pair_mse(k_out, k_in) + lam * gradient_entropy(
+                    image
+                )
+
+            def step(carry, x):
+                if use_ema:
+                    p, s, e = carry
+                    lam, beta = x[0], x[1]
+                else:
+                    p, s = carry
+                    lam = x
+                loss, grads = jax.value_and_grad(loss_fn)(p, lam)
+                updates, s = opt.update(grads, s)
+                p = optax.apply_updates(p, updates)
+                if use_ema:
+                    e = jax.tree_util.tree_map(
+                        lambda a, b: beta * a + (1.0 - beta) * b, e, p
+                    )
+                    return (p, s, e), loss
+                return (p, s), loss
+
+            carry0 = ((params["p"], opt_state, params["e"]) if use_ema
+                      else (params, opt_state))
+            carry, losses = jax.lax.scan(step, carry0, sched_seg)
+            state = ({"p": carry[0], "e": carry[2]} if use_ema else carry[0])
+            return state, carry[1], losses
+
+        return segment_fn
+
+    segment_fn = _make_segment(False)
+    coarse_segment_fn = _make_segment(True) if model.coarse else None
 
     @jax.jit
     def finalize_fn(params, k_in, masks, scale, statics):
@@ -494,24 +657,19 @@ def make_segmented_fit(model: IMMoCoModel, segment_len: int = 25):
 
     def run(kspace, masks, key, statics) -> FitResult:
         lambdas = fit_schedule(cfg)
-        # Padded tail segments would perturb params; instead run full
-        # segments and one short remainder via a second compiled graph.
+        lam_scale = _coarse_lambda_scale(model) if model.coarse else 1.0
+        # Padded tail segments would perturb params; instead fit_windows
+        # yields full segments plus short remainders (each distinct
+        # (length, phase) pair compiles once).
         params, opt_state, k_in, scale = init_fn(kspace, key, statics)
         losses = []
-        full = cfg.iters // segment_len
-        for s in range(full):
-            seg = jnp.asarray(
-                lambdas[s * segment_len : (s + 1) * segment_len]
-            )
-            params, opt_state, l = segment_fn(
-                params, opt_state, k_in, masks, seg, statics
-            )
-            losses.append(l)
-        rem = cfg.iters - full * segment_len
-        if rem:
-            seg = jnp.asarray(lambdas[full * segment_len : cfg.iters])
-            params, opt_state, l = segment_fn(
-                params, opt_state, k_in, masks, seg, statics
+        for s, e, coarse in fit_windows(cfg, segment_len):
+            seg = lambdas[s:e]
+            if coarse:
+                seg = _scale_coarse_sched(seg, lam_scale)
+            fn = coarse_segment_fn if coarse else segment_fn
+            params, opt_state, l = fn(
+                params, opt_state, k_in, masks, jnp.asarray(seg), statics
             )
             losses.append(l)
         image, k_fwd = finalize_fn(params, k_in, masks, scale, statics)
@@ -523,6 +681,7 @@ def make_segmented_fit(model: IMMoCoModel, segment_len: int = 25):
 
     run.init_fn = init_fn
     run.segment_fn = segment_fn
+    run.coarse_segment_fn = coarse_segment_fn
     run.finalize_fn = finalize_fn
     return run
 

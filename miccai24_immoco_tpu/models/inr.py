@@ -133,9 +133,24 @@ def _lattice_coords(lattice_shape: Sequence[int]) -> jnp.ndarray:
 _PLAN_ENTRY_BUDGET = 64_000_000
 
 
-def build_inr(inr_cfg, lattice_shape, compute_dtype=jnp.float32) -> INRSpec:
-    """Construct an INR spec from an ImageINRConfig / MotionINRConfig."""
+def build_inr(
+    inr_cfg, lattice_shape, compute_dtype=jnp.float32, param_shape=None
+) -> INRSpec:
+    """Construct an INR spec from an ImageINRConfig / MotionINRConfig.
+
+    ``param_shape``: build the PARAMETERS for this (full-resolution) query
+    lattice while evaluating on ``lattice_shape`` — cross-resolution
+    evaluation for the coarse-to-fine fit (models/immoco.py).  ``init`` then
+    returns trees bit-compatible with a ``param_shape``-raster model's, so
+    params/optimizer state transfer across rasters.  Hash encodings are
+    raster-independent by construction (tables + on-the-fly corners), so the
+    argument only affects the lattice encoding's level/fine grids.
+    """
     lattice_shape = tuple(int(s) for s in lattice_shape)
+    if param_shape is not None:
+        param_shape = tuple(int(s) for s in param_shape)
+        if param_shape == lattice_shape:
+            param_shape = None
     mlp_cfg: MLPConfig = inr_cfg.mlp
     apply_cf = None
 
@@ -177,16 +192,19 @@ def build_inr(inr_cfg, lattice_shape, compute_dtype=jnp.float32) -> INRSpec:
             return out.reshape(*lattice_shape, mlp_cfg.out_features)
 
     elif inr_cfg.encoding == "lattice":
-        plan = lattice.lattice_plan(inr_cfg.lattice, lattice_shape)
-        plan_cf = lattice.lattice_plan_cf(inr_cfg.lattice, lattice_shape)
-        width = lattice.feature_width(inr_cfg.lattice, lattice_shape)
+        p_shape = param_shape or lattice_shape
+        plan = lattice.lattice_plan(inr_cfg.lattice, lattice_shape, param_shape)
+        plan_cf = lattice.lattice_plan_cf(
+            inr_cfg.lattice, lattice_shape, param_shape
+        )
+        width = lattice.feature_width(inr_cfg.lattice, p_shape)
         statics = {"plan": plan, "plan_cf": plan_cf}
 
         def init(key):
             k_enc, k_mlp = jax.random.split(key)
             return {
                 "enc": lattice.init_lattice_params(
-                    k_enc, inr_cfg.lattice, lattice_shape
+                    k_enc, inr_cfg.lattice, p_shape
                 ),
                 "mlp": init_mlp(k_mlp, width, mlp_cfg),
             }

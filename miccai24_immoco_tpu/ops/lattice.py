@@ -108,18 +108,34 @@ def _interp_matrix(n_out: int, r: int) -> np.ndarray:
     return a
 
 
-def lattice_plan(cfg: LatticeEncodingConfig, lattice_shape):
-    """Static per-level, per-axis interpolation matrices."""
-    shapes, _ = plan_levels(cfg, lattice_shape)
-    plan = []
+def lattice_plan(cfg: LatticeEncodingConfig, lattice_shape, param_shape=None):
+    """Static per-level, per-axis interpolation matrices.
+
+    ``param_shape``: the lattice whose ``plan_levels`` define the PARAMETER
+    grids, when it differs from the query lattice — cross-resolution
+    evaluation (a coarse-raster model evaluating full-resolution parameters;
+    models/immoco.py coarse-to-fine fit).  Level grids are then resampled at
+    the query points through the same hat-interpolation matrices, and the
+    per-point fine features (tied to ``param_shape``) gain their own interp
+    matrices ("fine" entry) — they behave as one more dense level.
+    """
+    src = tuple(param_shape) if param_shape is not None else tuple(lattice_shape)
+    shapes, fine = plan_levels(cfg, src)
+    levels = []
     for shape in shapes:
-        plan.append(
+        levels.append(
             tuple(
                 jnp.asarray(_interp_matrix(n_out, r))
                 for n_out, r in zip(lattice_shape, shape)
             )
         )
-    return tuple(plan)
+    fine_mats = None
+    if fine > 0 and src != tuple(lattice_shape):
+        fine_mats = tuple(
+            jnp.asarray(_interp_matrix(n_out, r))
+            for n_out, r in zip(lattice_shape, src)
+        )
+    return {"levels": tuple(levels), "fine": fine_mats}
 
 
 def _is_identity(a: np.ndarray) -> bool:
@@ -128,30 +144,39 @@ def _is_identity(a: np.ndarray) -> bool:
     )
 
 
-def lattice_plan_cf(cfg: LatticeEncodingConfig, lattice_shape):
+def _cf_mats(lattice_shape, shape):
+    """Per-axis cf interpolation matrices with prefix-identity skips."""
+    mats = []
+    contracted = False
+    for n_out, r in zip(lattice_shape, shape):
+        a = _interp_matrix(n_out, r)
+        # Identity skips are only safe as a PREFIX (before the first
+        # contraction): contracted outputs append at the end of the dim
+        # order, so a skipped axis after a contracted one would land out
+        # of order.  All IM-MoCo lattices (movement axis first, finest
+        # image levels fully identity) hit the prefix case.
+        if not contracted and _is_identity(a):
+            mats.append(None)
+        else:
+            mats.append(jnp.asarray(a))
+            contracted = True
+    return tuple(mats)
+
+
+def lattice_plan_cf(cfg: LatticeEncodingConfig, lattice_shape, param_shape=None):
     """Channel-first plan: identity interpolation matrices (axes whose level
     resolution equals the lattice extent — e.g. the movement axis of the
     Motion INR at every level, or the finest image levels) are stored as
-    ``None`` so evaluation skips their no-op contraction entirely."""
-    shapes, _ = plan_levels(cfg, lattice_shape)
-    plan = []
-    for shape in shapes:
-        mats = []
-        contracted = False
-        for n_out, r in zip(lattice_shape, shape):
-            a = _interp_matrix(n_out, r)
-            # Identity skips are only safe as a PREFIX (before the first
-            # contraction): contracted outputs append at the end of the dim
-            # order, so a skipped axis after a contracted one would land out
-            # of order.  All IM-MoCo lattices (movement axis first, finest
-            # image levels fully identity) hit the prefix case.
-            if not contracted and _is_identity(a):
-                mats.append(None)
-            else:
-                mats.append(jnp.asarray(a))
-                contracted = True
-        plan.append(tuple(mats))
-    return tuple(plan)
+    ``None`` so evaluation skips their no-op contraction entirely.
+
+    ``param_shape``: see lattice_plan — cross-resolution evaluation."""
+    src = tuple(param_shape) if param_shape is not None else tuple(lattice_shape)
+    shapes, fine = plan_levels(cfg, src)
+    plan = [_cf_mats(lattice_shape, shape) for shape in shapes]
+    fine_mats = None
+    if fine > 0 and src != tuple(lattice_shape):
+        fine_mats = _cf_mats(lattice_shape, src)
+    return {"levels": tuple(plan), "fine": fine_mats}
 
 
 def _eval_level_cf(grid: jnp.ndarray, mats) -> jnp.ndarray:
@@ -166,7 +191,12 @@ def _eval_level_cf(grid: jnp.ndarray, mats) -> jnp.ndarray:
     order, and all full-size intermediates keep wide trailing dims.
     """
     # Feature axis to the front while the tensor is small.
-    g = jnp.moveaxis(grid, -1, 0)
+    return _contract_cf(jnp.moveaxis(grid, -1, 0), mats)
+
+
+def _contract_cf(g: jnp.ndarray, mats) -> jnp.ndarray:
+    """Contract an already channel-first (F, r1..rd) tensor with per-axis
+    interp matrices (None = identity prefix skip)."""
     p = 1  # position in g of the next original lattice axis
     for a in mats:
         if a is None:  # identity: leave the axis in place
@@ -187,10 +217,13 @@ def lattice_encode_cf(params, plan_cf) -> jnp.ndarray:
     """
     outs = [
         _eval_level_cf(g, mats)
-        for g, mats in zip(params["levels"], plan_cf)
+        for g, mats in zip(params["levels"], plan_cf["levels"])
     ]
     if params["fine"] is not None:
-        outs.append(params["fine"])
+        f = params["fine"]
+        if plan_cf["fine"] is not None:
+            f = _contract_cf(f, plan_cf["fine"])
+        outs.append(f)
     return jnp.concatenate(outs, axis=0)
 
 
@@ -216,8 +249,14 @@ def lattice_encode(params, plan) -> jnp.ndarray:
     Returns (*lattice_shape, F_total) features (levels concatenated, then
     fine per-point features).
     """
-    outs = [_eval_level(g, mats) for g, mats in zip(params["levels"], plan)]
+    outs = [
+        _eval_level(g, mats)
+        for g, mats in zip(params["levels"], plan["levels"])
+    ]
     if params["fine"] is not None:
         # Fine features are stored channel-first (see init_lattice_params).
-        outs.append(jnp.moveaxis(params["fine"], 0, -1))
+        f = jnp.moveaxis(params["fine"], 0, -1)
+        if plan["fine"] is not None:
+            f = _eval_level(f, plan["fine"])
+        outs.append(f)
     return jnp.concatenate(outs, axis=-1)

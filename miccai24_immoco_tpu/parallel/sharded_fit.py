@@ -138,10 +138,11 @@ def make_batched_segmented_fit(
     segments.  Numerically identical to make_batched_fit (same scan body).
     Returns run(kspaces, masks, keys, statics) -> FitResult.
     """
-    import numpy as np
-
     from miccai24_immoco_tpu.models.immoco import (
+        _coarse_lambda_scale,
+        _scale_coarse_sched,
         fit_schedule,
+        fit_windows,
         make_segmented_fit,
     )
 
@@ -152,24 +153,27 @@ def make_batched_segmented_fit(
     vseg = jax.jit(
         jax.vmap(single.segment_fn, in_axes=(0, 0, 0, 0, None, None))
     )
+    vseg_c = (
+        jax.jit(
+            jax.vmap(single.coarse_segment_fn, in_axes=(0, 0, 0, 0, None, None))
+        )
+        if single.coarse_segment_fn is not None
+        else None
+    )
     vfin = jax.jit(jax.vmap(single.finalize_fn, in_axes=(0, 0, 0, 0, None)))
 
     def run(kspaces, masks, keys, statics) -> FitResult:
         lambdas = fit_schedule(cfg)
+        lam_scale = _coarse_lambda_scale(model) if model.coarse else 1.0
         params, opt_state, k_in, scale = vinit(kspaces, keys, statics)
         losses = []
-        full = cfg.iters // segment_len
-        for s in range(full):
-            seg = jnp.asarray(lambdas[s * segment_len : (s + 1) * segment_len])
-            params, opt_state, l = vseg(
-                params, opt_state, k_in, masks, seg, statics
-            )
-            losses.append(l)
-        rem = cfg.iters - full * segment_len
-        if rem:
-            seg = jnp.asarray(lambdas[full * segment_len :])
-            params, opt_state, l = vseg(
-                params, opt_state, k_in, masks, seg, statics
+        for s, e, coarse in fit_windows(cfg, segment_len):
+            seg = lambdas[s:e]
+            if coarse:
+                seg = _scale_coarse_sched(seg, lam_scale)
+            fn = vseg_c if coarse else vseg
+            params, opt_state, l = fn(
+                params, opt_state, k_in, masks, jnp.asarray(seg), statics
             )
             losses.append(l)
         image, k_fwd = vfin(params, k_in, masks, scale, statics)
