@@ -266,7 +266,7 @@ def cmd_eval_immoco(args):
             metrics, images = run_immoco_batched(
                 corpus, cfg, kld=kld, limit=args.limit,
                 batch_size=args.batch_size, buckets=buckets,
-                collect_images=True,
+                collect_images=True, restarts=args.restarts,
             )
         wall[scenario] = {
             "wall_s": round(time.perf_counter() - t0, 3),
@@ -752,6 +752,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "extended to max_movements); empty = no bucketing")
     e.add_argument("--per-slice", action="store_true",
                    help="legacy sequential runner instead of batched")
+    e.add_argument("--restarts", type=int, default=1,
+                   help="best-of-K restart selection by gradient entropy "
+                        "(self-supervised; addresses heavy-scenario init "
+                        "sensitivity; K x fit cost)")
     e.set_defaults(fn=cmd_eval_immoco)
 
     e = sub.add_parser("eval-autofocus")

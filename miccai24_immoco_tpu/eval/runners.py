@@ -36,6 +36,7 @@ from miccai24_immoco_tpu.models.af_plus import make_afplus_fit
 from miccai24_immoco_tpu.models.autofocusing import make_autofocus_fit
 from miccai24_immoco_tpu.models.immoco import build_immoco, make_instance_fit
 from miccai24_immoco_tpu.ops.fft import ifft2c
+from miccai24_immoco_tpu.ops.losses import gradient_entropy
 from miccai24_immoco_tpu.ops.masks import extract_movement_groups
 from miccai24_immoco_tpu.train.train_kld import (
     mask_to_line_indicators,
@@ -144,6 +145,7 @@ def run_immoco_batched(
     segment_len: int = 20,
     buckets: Optional[Sequence[int]] = None,
     collect_images: bool = False,
+    restarts: int = 1,
 ):
     """Batched variant of run_immoco: slices are fitted in vmapped batches
     (the production throughput mode; parallel/sharded_fit machinery).
@@ -158,6 +160,15 @@ def run_immoco_batched(
     padding instead, and bucketing claws that back).  Zero-padded group
     masks make truncation to any bucket >= the group count exact
     (tests/test_immoco_fit.py padding invariance).
+
+    ``restarts``: best-of-K restart selection (deliberate divergence; the
+    reference fits once).  Each slice is fitted ``restarts`` times from
+    different init keys and the result with the LOWEST gradient entropy of
+    the reconstructed image is kept — a self-supervised criterion (GE is
+    the fit's own prior, no GT involved) that addresses the heavy-scenario
+    init sensitivity (scripts/probe_init_variance.py: ~3 dB per-seed PSNR
+    spread on failing heavy slices, min-GE tracks the better seeds).
+    Cost scales linearly with K.  restarts=1 is bit-identical to before.
     """
     import dataclasses as _dc
 
@@ -214,7 +225,10 @@ def run_immoco_batched(
     for i, c in enumerate(slice_counts):
         by_bucket.setdefault(bucket_of(c), []).append(i)
 
+    restarts = max(int(restarts), 1)
+    vge = jax.jit(jax.vmap(gradient_entropy)) if restarts > 1 else None
     metrics_by_idx: Dict[int, Dict[str, float]] = {}
+    ge_by_idx: Dict[int, float] = {}
     last_images = None
     for size in sizes:
         idxs = by_bucket.get(size)
@@ -223,21 +237,36 @@ def run_immoco_batched(
         bcfg = _dc.replace(cfg, max_movements=size)
         model = build_immoco(bcfg, h, w)
         run = make_batched_segmented_fit(model, segment_len=segment_len)
-        for start in range(0, len(idxs), batch_size):
-            idx = idxs[start : start + batch_size]
-            pad = batch_size - len(idx)
-            idx_padded = idx + [idx[-1]] * pad  # padded fits dropped below
+        # One job per (slice, restart seed); K=1 degenerates to one per slice.
+        jobs = [(i, s) for i in idxs for s in range(restarts)]
+        for start in range(0, len(jobs), batch_size):
+            batch = jobs[start : start + batch_size]
+            pad = batch_size - len(batch)
+            batch_padded = batch + [batch[-1]] * pad  # padded fits dropped
+            idx_padded = [i for i, _ in batch_padded]
             ksp = put_complex(ks_all[idx_padded])
             masks = jnp.stack([slice_masks[i][:size] for i in idx_padded])
-            # Per-slice deterministic init keys: fold_in by corpus index so a
-            # slice's fit is invariant to batch composition / bucket routing
-            # (a batch-order split made results depend on which slices shared
-            # a batch — observed ~3 dB PSNR spread on heavy slice 16).
+            # Per-slice deterministic init keys: fold_in by corpus index (and
+            # restart seed) so a slice's fit is invariant to batch
+            # composition / bucket routing (a batch-order split made results
+            # depend on which slices shared a batch — observed ~3 dB PSNR
+            # spread on heavy slice 16).  restarts*i + s == i when K=1.
             keys = jnp.stack(
-                [jax.random.fold_in(key, i) for i in idx_padded]
+                [
+                    jax.random.fold_in(key, restarts * i + s)
+                    for i, s in batch_padded
+                ]
             )
             result = run(ksp, masks, keys, model.statics)
-            for j, i in enumerate(idx):
+            ges = (
+                np.asarray(vge(result.image))
+                if restarts > 1
+                else np.zeros(batch_size)
+            )
+            for j, (i, _s) in enumerate(batch):
+                if i in ge_by_idx and ge_by_idx[i] <= ges[j]:
+                    continue  # an earlier restart of this slice won on GE
+                ge_by_idx[i] = float(ges[j])
                 metrics_by_idx[i] = _metrics_dict(
                     result.image[j], put_complex(gt_all[i])
                 )

@@ -116,6 +116,30 @@ def test_run_immoco_batched_batch_invariance(corpus):
         np.testing.assert_allclose(ma["ssim"], mb["ssim"], rtol=1e-3)
 
 
+def test_run_immoco_batched_restarts(corpus):
+    """Best-of-K GE restart selection: deterministic, invariant to how jobs
+    are grouped into batches (jobs of one slice may straddle batches), and
+    never returns non-finite metrics."""
+    from miccai24_immoco_tpu.eval.runners import run_immoco_batched
+
+    cfg = small_cfg("lattice", "lattice", iters=5, max_movements=4)
+    a = run_immoco_batched(corpus, cfg, batch_size=2, segment_len=3,
+                           restarts=2)
+    a2 = run_immoco_batched(corpus, cfg, batch_size=2, segment_len=3,
+                            restarts=2)
+    b = run_immoco_batched(corpus, cfg, batch_size=1, segment_len=3,
+                           restarts=2)
+    c = run_immoco_batched(corpus, cfg, batch_size=3, segment_len=3,
+                           restarts=2)
+    for ma, ma2, mb, mc in zip(a, a2, b, c):
+        assert np.isfinite(ma["psnr"])
+        assert ma == ma2  # deterministic
+        # Different batch shapes are different compiled programs -> float
+        # noise only; the (slice, seed) key tree is the same.
+        np.testing.assert_allclose(ma["psnr"], mb["psnr"], rtol=1e-3)
+        np.testing.assert_allclose(ma["psnr"], mc["psnr"], rtol=1e-3)
+
+
 def test_run_immoco_batched_bucketing_exact(corpus):
     """Movement bucketing must be numerically invisible: a slice fitted in a
     bucket >= its group count gives the same result as max_movements padding
