@@ -579,13 +579,17 @@ def cmd_train_afplus(args):
         save(args.out, {"params": params, "opt_state": opt_state},
              metadata={"step": step})
 
+    nan_count = 0
     for i in range(start, args.steps):
         key, sk = jax.random.split(key)
-        params, opt_state, loss = train_step(
+        params, opt_state, stats = train_step(
             params, opt_state, sk, train[i % n]
         )
+        nan_count += int(float(stats["nonfinite"]))
         if i % 10 == 0:
-            log_fn(i, {"loss": float(loss)})
+            log_fn(i, {"loss": float(stats["loss"]),
+                       "gnorm": float(stats["gnorm"]),
+                       "nan_count": nan_count})
         if i and i % 100 == 0:
             _ckpt(i + 1)  # periodic: long runs survive preemption
     _ckpt(args.steps)

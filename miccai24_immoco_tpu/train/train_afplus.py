@@ -144,16 +144,25 @@ def make_afplus_trainer(
         # differentiates through 30 chained inner-Adam rsqrt updates and
         # occasionally yields NaN for a sample; without zeroing, one bad
         # sample poisons the accumulated update and the whole run (observed
-        # at 320^2: first NaN within 30 steps).
+        # at 320^2: first NaN within 30 steps).  zero_nans sits OUTSIDE
+        # MultiSteps so it zeroes the offending SAMPLE before accumulation —
+        # inside, it only saw the already-poisoned 16-sample sum and zeroed
+        # the entire optimizer update (with NaNs at all frequent, most
+        # updates became no-ops: the round-2 run's loss was flat for 1270
+        # steps = 79 wiped updates).
         optax.zero_nans(),
-        optax.clip_by_global_norm(cfg.clip_norm),
-        optax.adam(
-            optax.cosine_decay_schedule(
-                cfg.learning_rate, max(cfg.steps // cfg.accumulate, 1)
-            )
+        optax.MultiSteps(
+            optax.chain(
+                optax.clip_by_global_norm(cfg.clip_norm),
+                optax.adam(
+                    optax.cosine_decay_schedule(
+                        cfg.learning_rate, max(cfg.steps // cfg.accumulate, 1)
+                    )
+                ),
+            ),
+            cfg.accumulate,
         ),
     )
-    opt = optax.MultiSteps(opt, cfg.accumulate)
 
     def init_fn(key):
         params = net.init(
@@ -187,7 +196,13 @@ def make_afplus_trainer(
             return denoiser_loss(out, tgt)
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
+        # Per-sample diagnostics: the NaN rate decides whether the bilevel
+        # gradient is healthy (zero_nans turns a NaN sample into a zero
+        # update — frequent NaNs mean the run is silently not learning).
+        gnorm = optax.global_norm(grads)
         updates, opt_state = opt.update(grads, opt_state, params)
-        return optax.apply_updates(params, updates), opt_state, loss
+        stats = {"loss": loss, "gnorm": gnorm,
+                 "nonfinite": (~jnp.isfinite(gnorm)).astype(jnp.float32)}
+        return optax.apply_updates(params, updates), opt_state, stats
 
     return init_fn, train_step, metric_fn_of

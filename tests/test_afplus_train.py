@@ -41,7 +41,8 @@ def test_afplus_trainer_step_runs():
     )
     params, opt_state = init_fn(jax.random.PRNGKey(0))
     for i in range(2):
-        params, opt_state, loss = train_step(
+        params, opt_state, stats = train_step(
             params, opt_state, jax.random.PRNGKey(i), ks
         )
-        assert np.isfinite(float(loss))
+        assert np.isfinite(float(stats["loss"]))
+        assert float(stats["nonfinite"]) in (0.0, 1.0)
