@@ -380,9 +380,20 @@ def cmd_train_classifier(args):
     cfg = ClassifierTrainConfig(
         steps=args.steps, train_backbone=args.train_backbone
     )
+    backbone_init = None
+    if getattr(args, "backbone_from", None):
+        # Transfer protocol (reference analog of the frozen ImageNet
+        # backbone): reuse a previously trained classifier's full network
+        # as the frozen feature extractor; only Dense_0 retrains.
+        src = _load_ckpt(args.backbone_from)
+        backbone_init = {
+            "params": {**src["backbone"], **src["head_params"]},
+            "batch_stats": src["batch_stats"],
+        }
     state, eval_step = train_classifier(
         patches, labels, cfg, val=(patches, labels),
         log_fn=lambda i, st: print(i, json.dumps(st)),
+        backbone_init=backbone_init,
     )
     save(
         args.out,
@@ -787,6 +798,10 @@ def build_parser() -> argparse.ArgumentParser:
                    "carries a fine ring-vs-blob cue that motion destroys)")
     t.add_argument("--size", type=int, default=320)
     t.add_argument("--train-backbone", action="store_true")
+    t.add_argument("--backbone-from",
+                   help="checkpoint/registry name whose trained network "
+                        "initializes the FROZEN backbone (transfer "
+                        "protocol; fresh Dense_0 head)")
     t.add_argument("--steps", type=int, required=True)
     t.add_argument("--out", required=True)
     t.set_defaults(fn=cmd_train_classifier)

@@ -52,10 +52,31 @@ def make_classifier_trainer(
     cfg: ClassifierTrainConfig,
     input_hw: int = 124,
     class_weights: Optional[np.ndarray] = None,
+    backbone_init: Optional[Dict] = None,
 ):
+    """``backbone_init``: optional pretrained param/batch_stats overlay
+    ({"params": ..., "batch_stats": ...}) applied before the head/backbone
+    split — the transfer protocol.  The reference freezes an
+    ImageNet-pretrained torchvision backbone and trains only the FC head
+    (train_classification.py:29-158); with no ImageNet weights in this
+    environment, a backbone pretrained on a DIFFERENT synthetic lesion task
+    (the "distinct" corpus) stands in for the generic-feature initializer.
+    The Dense_0 head is excluded from the overlay (fresh head per task).
+    """
     net, variables = init_resnet18(
         jax.random.PRNGKey(cfg.seed), cfg.num_classes, input_hw
     )
+    if backbone_init is not None:
+        variables = {
+            "params": {
+                **variables["params"],
+                **{k: v for k, v in backbone_init["params"].items()
+                   if k != "Dense_0"},
+            },
+            "batch_stats": backbone_init.get(
+                "batch_stats", variables["batch_stats"]
+            ),
+        }
     head_opt = optax.adam(cfg.learning_rate)
     weights = jnp.asarray(
         class_weights
@@ -128,12 +149,13 @@ def train_classifier(
     val: Optional[Tuple[np.ndarray, np.ndarray]] = None,
     log_every: int = 50,
     log_fn: Callable[[int, Dict], None] = lambda i, s: None,
+    backbone_init: Optional[Dict] = None,
 ):
     """patches: (N, H, W) float; labels: (N,) int."""
     counts = np.bincount(labels, minlength=cfg.num_classes).astype(np.float32)
     class_weights = counts.sum() / (cfg.num_classes * np.maximum(counts, 1))
     state, train_step, eval_step = make_classifier_trainer(
-        cfg, patches.shape[-1], class_weights
+        cfg, patches.shape[-1], class_weights, backbone_init=backbone_init
     )
     hp, opt_state = state["head_params"], state["opt_state"]
     px = jnp.asarray(patches)

@@ -58,6 +58,17 @@ REGISTRY: Dict[str, str] = {
     "classifier_synthetic": os.path.join(
         _ROOT, "artifacts", "classifier_synthetic"
     ),
+    # Classifier trained on the "subtle" lesion-corpus variant (faint
+    # ring-vs-blob cue at the measured edge of the generalization window,
+    # data/lesions.py SUBTLE_GEOM) — the corpus for the reference's
+    # test_classification.py:65-100 condition comparison.  See
+    # PERFORMANCE.md "Downstream classification condition gap": rigid
+    # ghosting is unitary, so trained-backbone accuracy saturates for any
+    # stronger cue; the decisive reproduced result is IM-MoCo preserving
+    # the cue (~1.0) while the denoiser baseline destroys it (~0.5).
+    "classifier_subtle": os.path.join(
+        _ROOT, "artifacts", "classifier_subtle"
+    ),
     # The reference's fifth checkpoint, "unet_denoising_classification_task"
     # (download_weights.py:26-29): the same denoiser recipe trained on the
     # classification-corpus slices (train_unet_denoiser_classification.py;

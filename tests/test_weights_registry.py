@@ -22,6 +22,7 @@ COMMITTED = (
     "denoiser_full",
     "denoiser_classification",
     "classifier_synthetic",
+    "classifier_subtle",
 )
 
 # Registered but machine-local (documented in weights.py).
