@@ -39,6 +39,23 @@ import jax.numpy as jnp
 A100_REFERENCE_SECONDS_PER_SLICE = 4.0  # documented estimate, see docstring
 
 
+def _c2f_env():
+    """Coarse-to-fine knobs: BENCH_C2F is either a single phase length (run
+    at BENCH_CSIZE^2) or a '+'-separated multi-level pyramid like
+    '40@192+50@256' (config.py coarse_schedule).  0 disables."""
+    c2f = os.environ.get("BENCH_C2F", "75")
+    if "@" in c2f:
+        sched = tuple(
+            (int(p.split("@")[0]), int(p.split("@")[1]))
+            for p in c2f.split("+")
+        )
+        return {"coarse_schedule": sched}
+    return {
+        "coarse_iters": int(c2f),
+        "coarse_size": int(os.environ.get("BENCH_CSIZE", "256")),
+    }
+
+
 def main():
     from miccai24_immoco_tpu.config import (
         ImageINRConfig,
@@ -93,8 +110,7 @@ def main():
         # BENCH_C2F=50, which dominates the heavy baseline (5.83 s/slice,
         # ssim 0.9695/psnr 31.34 vs 6.52/0.9612/31.01) — longer coarse
         # phases degrade heavy quality (PERFORMANCE.md c2f table).
-        coarse_iters=int(os.environ.get("BENCH_C2F", "75")),
-        coarse_size=int(os.environ.get("BENCH_CSIZE", "256")),
+        **_c2f_env(),
     )
 
     images = phantom_stack(batch, size, size, seed=0)

@@ -216,6 +216,14 @@ class InstanceFitConfig:
     # the largest warp-tile multiple <= 0.6 * min(H, W).
     coarse_iters: int = 0
     coarse_size: int = 0
+    # Multi-level pyramid generalization: ((iters, size), ...) phases in
+    # coarse-to-fine order (strictly increasing sizes, each < full extent),
+    # run before the full-resolution remainder.  Takes precedence over
+    # coarse_iters/coarse_size when non-empty; ((i, s),) == coarse_iters=i,
+    # coarse_size=s.  Measured (PERFORMANCE.md round-2 pyramid table): the
+    # per-iteration cost at size s scales ~(s/H)^2 for the warp, so a
+    # 192->256->320 ladder front-loads cheap iterations at equal quality.
+    coarse_schedule: Tuple[Tuple[int, int], ...] = ()
 
 
 @dataclasses.dataclass(frozen=True)

@@ -92,6 +92,26 @@ def fit_schedule(cfg: InstanceFitConfig) -> np.ndarray:
     return lam
 
 
+def coarse_phases(cfg: InstanceFitConfig) -> Tuple[Tuple[int, int], ...]:
+    """Normalized ((iters, size), ...) coarse-phase list for a fit config:
+    cfg.coarse_schedule verbatim, else the single (coarse_iters,
+    coarse_size) phase, else ().  Total coarse iterations are clamped to
+    cfg.iters (trailing phases trimmed/dropped)."""
+    if cfg.coarse_schedule:
+        phases = tuple((int(i), int(s)) for i, s in cfg.coarse_schedule)
+    elif cfg.coarse_iters > 0:
+        phases = ((int(cfg.coarse_iters), int(cfg.coarse_size)),)
+    else:
+        return ()
+    out, used = [], 0
+    for it, sz in phases:
+        it = min(max(it, 0), cfg.iters - used)
+        if it > 0:
+            out.append((it, sz))
+            used += it
+    return tuple(out)
+
+
 @dataclasses.dataclass(frozen=True)
 class IMMoCoModel:
     """Compiled-shape IM-MoCo forward model for (max_movements, H, W)."""
@@ -104,10 +124,16 @@ class IMMoCoModel:
     # Statics: device arrays that jitted callers MUST receive as arguments
     # (never closure constants — see models/inr.py statics discipline).
     statics: Any
-    # Coarse-raster companion model for cfg.coarse_iters > 0 (same parameter
-    # trees via models/inr.py param_shape; its statics ride along under
-    # statics["coarse"]).  None when coarse-to-fine is off.
-    coarse: Optional["IMMoCoModel"] = None
+    # Coarse-raster companion models, one per coarse_phases(cfg) entry in
+    # coarse-to-fine order (same parameter trees via models/inr.py
+    # param_shape; phase i's statics ride along under statics[f"coarse{i}"]).
+    # Empty when coarse-to-fine is off.
+    coarse_levels: Tuple["IMMoCoModel", ...] = ()
+
+    @property
+    def coarse(self) -> Optional["IMMoCoModel"]:
+        """First (coarsest) companion, or None — single-level back-compat."""
+        return self.coarse_levels[0] if self.coarse_levels else None
 
     def init(self, key) -> Dict[str, Any]:
         k1, k2 = jax.random.split(key)
@@ -261,14 +287,18 @@ def _upsample_matrix(n: int, m: int) -> jnp.ndarray:
     return jax.nn.relu(1.0 - jnp.abs(pos[:, None] - src[None, :]))
 
 
-def coarse_hw(cfg: InstanceFitConfig, height: int, width: int) -> Tuple[int, int]:
-    """Coarse raster for the c2f fit: cfg.coarse_size, or the largest
-    warp-tile multiple <= 0.6 * extent.  Both axes use the SAME ratio so the
-    normalized displacement bound (2 * disp_px / extent) transfers exactly."""
+def coarse_hw(
+    cfg: InstanceFitConfig, height: int, width: int, size: Optional[int] = None
+) -> Tuple[int, int]:
+    """Coarse raster for a c2f phase: ``size`` (default cfg.coarse_size), or
+    the largest warp-tile multiple <= 0.6 * extent.  Both axes use the SAME
+    ratio so the normalized displacement bound (2 * disp_px / extent)
+    transfers exactly."""
     tile = (cfg.warp_pallas_tile_px if cfg.warp_impl == "pallas_tiled"
             else 32)
-    if cfg.coarse_size:
-        hc = int(cfg.coarse_size)
+    size = cfg.coarse_size if size is None else size
+    if size:
+        hc = int(size)
     else:
         hc = max((int(0.6 * height) // tile) * tile, tile)
     wc = hc * width // height
@@ -291,8 +321,11 @@ def coarse_hw(cfg: InstanceFitConfig, height: int, width: int) -> Tuple[int, int
     return hc, wc
 
 
-def _coarse_crop(model: "IMMoCoModel", k_in: jnp.ndarray, masks: jnp.ndarray):
-    """Center-crop normalized k-space + movement masks to the coarse raster.
+def _coarse_crop(
+    model: "IMMoCoModel", cm: "IMMoCoModel", k_in: jnp.ndarray,
+    masks: jnp.ndarray,
+):
+    """Center-crop normalized k-space + movement masks to ``cm``'s raster.
 
     The sqrt(area-ratio) factor makes the coarse ortho-IFFT image carry the
     SAME pixel amplitudes as the full-resolution image (for a band-limited
@@ -300,7 +333,6 @@ def _coarse_crop(model: "IMMoCoModel", k_in: jnp.ndarray, masks: jnp.ndarray):
     sqrt(hc*wc / (H*W)) on the shared low frequencies), so the Image INR's
     parameters transfer across the raster switch without an amplitude jump.
     """
-    cm = model.coarse
     dh = (model.height - cm.height) // 2
     dw = (model.width - cm.width) // 2
     ratio = float(
@@ -311,11 +343,10 @@ def _coarse_crop(model: "IMMoCoModel", k_in: jnp.ndarray, masks: jnp.ndarray):
     return k_c, m_c
 
 
-def _coarse_lambda_scale(model: "IMMoCoModel") -> float:
+def _coarse_lambda_scale(model: "IMMoCoModel", cm: "IMMoCoModel") -> float:
     """GE is an unnormalized pixel sum while the data term is a mean
-    (ops/losses.py), so the coarse stage scales lambda by the pixel-count
+    (ops/losses.py), so a coarse stage scales lambda by the pixel-count
     ratio to preserve the prior/data balance (config.py coarse_iters)."""
-    cm = model.coarse
     return (model.height * model.width) / float(cm.height * cm.width)
 
 
@@ -330,18 +361,30 @@ def _scale_coarse_sched(sched: np.ndarray, lam_scale: float) -> np.ndarray:
     return sched
 
 
+def phase_spans(cfg: InstanceFitConfig):
+    """[(start, end, phase_idx)] iteration spans of a (possibly c2f) fit:
+    one span per coarse_phases(cfg) entry (phase_idx = its index) followed
+    by the full-resolution remainder (phase_idx = -1)."""
+    spans, s = [], 0
+    for i, (it, _sz) in enumerate(coarse_phases(cfg)):
+        spans.append((s, s + it, i))
+        s += it
+    if s < cfg.iters:
+        spans.append((s, cfg.iters, -1))
+    return spans
+
+
 def fit_windows(cfg: InstanceFitConfig, segment_len: int):
-    """[(start, end, is_coarse)] segment windows for a (possibly c2f) fit:
-    the coarse phase (first min(coarse_iters, iters) iterations) then the
-    full-resolution phase, each chopped into <= segment_len runs; phase
-    boundaries never straddle a segment."""
-    ci = min(max(cfg.coarse_iters, 0), cfg.iters)
+    """[(start, end, phase_idx)] segment windows for a (possibly c2f) fit:
+    each phase_spans() span chopped into <= segment_len runs; phase
+    boundaries never straddle a segment.  phase_idx indexes
+    model.coarse_levels; -1 = the full-resolution phase."""
     out = []
-    for a, b, coarse in ((0, ci, True), (ci, cfg.iters, False)):
+    for a, b, phase in phase_spans(cfg):
         s = a
         while s < b:
             e = min(s + segment_len, b)
-            out.append((s, e, coarse))
+            out.append((s, e, phase))
             s = e
     return out
 
@@ -386,23 +429,34 @@ def build_immoco(
         )
     if cfg.kspace_op == "dft_mm":
         statics["dft"] = centered_dft_statics(height, width)
-    coarse = None
-    if cfg.coarse_iters > 0 and _param_hw is None:
-        hc, wc = coarse_hw(cfg, height, width)
-        ccfg = dataclasses.replace(
-            cfg,
-            coarse_iters=0,
-            # Same NORMALIZED displacement bound: the tanh scale in forward
-            # is 2 * disp_px / extent, so the pixel cap shrinks with the
-            # raster (coarse_hw guarantees hc/H == wc/W exactly).
-            motion_disp_px=(
-                None
-                if cfg.motion_disp_px is None
-                else cfg.motion_disp_px * hc / height
-            ),
-        )
-        coarse = build_immoco(ccfg, hc, wc, _param_hw=(height, width))
-        statics["coarse"] = coarse.statics
+    coarse_levels = []
+    if _param_hw is None:
+        prev_hc = 0
+        for pi, (_it, sz) in enumerate(coarse_phases(cfg)):
+            hc, wc = coarse_hw(cfg, height, width, sz)
+            if hc <= prev_hc or hc >= height:
+                raise ValueError(
+                    "coarse_schedule sizes must be strictly increasing and "
+                    f"< the full extent (phase {pi}: {hc} vs prev {prev_hc},"
+                    f" full {height})"
+                )
+            prev_hc = hc
+            ccfg = dataclasses.replace(
+                cfg,
+                coarse_iters=0,
+                coarse_schedule=(),
+                # Same NORMALIZED displacement bound: the tanh scale in
+                # forward is 2 * disp_px / extent, so the pixel cap shrinks
+                # with the raster (coarse_hw guarantees hc/H == wc/W).
+                motion_disp_px=(
+                    None
+                    if cfg.motion_disp_px is None
+                    else cfg.motion_disp_px * hc / height
+                ),
+            )
+            cm = build_immoco(ccfg, hc, wc, _param_hw=(height, width))
+            coarse_levels.append(cm)
+            statics[f"coarse{pi}"] = cm.statics
     return IMMoCoModel(
         cfg=cfg,
         height=height,
@@ -410,7 +464,7 @@ def build_immoco(
         image_inr=image_inr,
         motion_inr=motion_inr,
         statics=statics,
-        coarse=coarse,
+        coarse_levels=tuple(coarse_levels),
     )
 
 
@@ -437,12 +491,16 @@ def make_instance_fit(
     """
     cfg = model.cfg
     sched_np = fit_schedule(cfg)
-    ci = min(max(cfg.coarse_iters, 0), cfg.iters) if model.coarse else 0
-    if ci:
-        sched_c = jnp.asarray(
-            _scale_coarse_sched(sched_np[:ci], _coarse_lambda_scale(model))
-        )
-    sched = jnp.asarray(sched_np[ci:])
+    # One scaled schedule slice per phase span (coarse lambdas carry the
+    # pixel-count scale of their raster).
+    phase_scheds = []
+    for s, e, pi in phase_spans(cfg):
+        seg = sched_np[s:e]
+        if pi >= 0:
+            seg = _scale_coarse_sched(
+                seg, _coarse_lambda_scale(model, model.coarse_levels[pi])
+            )
+        phase_scheds.append((pi, jnp.asarray(seg)))
     use_ema = cfg.ema_decay > 0
     opt = optax.adam(cfg.learning_rate, b1=cfg.b1, b2=cfg.b2, eps=cfg.eps)
     cp = constrain_params or (lambda p: p)
@@ -484,20 +542,17 @@ def make_instance_fit(
 
         carry = (params, opt_state, params) if use_ema else (params, opt_state)
         loss_segs = []
-        if ci:
-            # Coarse phase: same params/optimizer, center-cropped k-space on
-            # the coarse raster (config.py coarse_iters).
-            k_c, m_c = _coarse_crop(model, k_in, masks)
-            carry, l_c = jax.lax.scan(
-                make_step(model.coarse, k_c, m_c, statics["coarse"]),
-                carry,
-                sched_c,
-            )
-            loss_segs.append(l_c)
-        carry, l_f = jax.lax.scan(
-            make_step(model, k_in, masks, statics), carry, sched
-        )
-        loss_segs.append(l_f)
+        for pi, sched_p in phase_scheds:
+            if pi >= 0:
+                # Coarse phase: same params/optimizer, center-cropped
+                # k-space on phase pi's raster (config.py coarse_schedule).
+                cmod = model.coarse_levels[pi]
+                k_p, m_p = _coarse_crop(model, cmod, k_in, masks)
+                step = make_step(cmod, k_p, m_p, statics[f"coarse{pi}"])
+            else:
+                step = make_step(model, k_in, masks, statics)
+            carry, l_p = jax.lax.scan(step, carry, sched_p)
+            loss_segs.append(l_p)
         losses = (
             jnp.concatenate(loss_segs) if len(loss_segs) > 1 else loss_segs[0]
         )
@@ -600,14 +655,15 @@ def make_segmented_fit(model: IMMoCoModel, segment_len: int = 25):
         state = {"p": params, "e": params} if use_ema else params
         return state, opt.init(params), k_in, scale
 
-    def _make_segment(coarse: bool):
-        fwd_model = model.coarse if coarse else model
+    def _make_segment(phase: int):
+        # phase: coarse_levels index, or -1 for the full-resolution phase.
+        fwd_model = model.coarse_levels[phase] if phase >= 0 else model
 
         @jax.jit
         def segment_fn(params, opt_state, k_in, masks, sched_seg, statics):
-            if coarse:
-                k_in, masks = _coarse_crop(model, k_in, masks)
-                st = statics["coarse"]
+            if phase >= 0:
+                k_in, masks = _coarse_crop(model, fwd_model, k_in, masks)
+                st = statics[f"coarse{phase}"]
             else:
                 st = statics
 
@@ -642,8 +698,10 @@ def make_segmented_fit(model: IMMoCoModel, segment_len: int = 25):
 
         return segment_fn
 
-    segment_fn = _make_segment(False)
-    coarse_segment_fn = _make_segment(True) if model.coarse else None
+    segment_fn = _make_segment(-1)
+    phase_segment_fns = tuple(
+        _make_segment(pi) for pi in range(len(model.coarse_levels))
+    )
 
     @jax.jit
     def finalize_fn(params, k_in, masks, scale, statics):
@@ -655,19 +713,22 @@ def make_segmented_fit(model: IMMoCoModel, segment_len: int = 25):
         descale = scale / cfg.kspace_scale
         return image * descale, k_fwd * descale
 
+    lam_scales = tuple(
+        _coarse_lambda_scale(model, cm) for cm in model.coarse_levels
+    )
+
     def run(kspace, masks, key, statics) -> FitResult:
         lambdas = fit_schedule(cfg)
-        lam_scale = _coarse_lambda_scale(model) if model.coarse else 1.0
         # Padded tail segments would perturb params; instead fit_windows
         # yields full segments plus short remainders (each distinct
         # (length, phase) pair compiles once).
         params, opt_state, k_in, scale = init_fn(kspace, key, statics)
         losses = []
-        for s, e, coarse in fit_windows(cfg, segment_len):
+        for s, e, phase in fit_windows(cfg, segment_len):
             seg = lambdas[s:e]
-            if coarse:
-                seg = _scale_coarse_sched(seg, lam_scale)
-            fn = coarse_segment_fn if coarse else segment_fn
+            if phase >= 0:
+                seg = _scale_coarse_sched(seg, lam_scales[phase])
+            fn = phase_segment_fns[phase] if phase >= 0 else segment_fn
             params, opt_state, l = fn(
                 params, opt_state, k_in, masks, jnp.asarray(seg), statics
             )
@@ -681,7 +742,9 @@ def make_segmented_fit(model: IMMoCoModel, segment_len: int = 25):
 
     run.init_fn = init_fn
     run.segment_fn = segment_fn
-    run.coarse_segment_fn = coarse_segment_fn
+    run.phase_segment_fns = phase_segment_fns
+    # Single-level back-compat alias (first coarse phase, or None).
+    run.coarse_segment_fn = phase_segment_fns[0] if phase_segment_fns else None
     run.finalize_fn = finalize_fn
     return run
 

@@ -153,25 +153,24 @@ def make_batched_segmented_fit(
     vseg = jax.jit(
         jax.vmap(single.segment_fn, in_axes=(0, 0, 0, 0, None, None))
     )
-    vseg_c = (
-        jax.jit(
-            jax.vmap(single.coarse_segment_fn, in_axes=(0, 0, 0, 0, None, None))
-        )
-        if single.coarse_segment_fn is not None
-        else None
+    vseg_phase = tuple(
+        jax.jit(jax.vmap(fn, in_axes=(0, 0, 0, 0, None, None)))
+        for fn in single.phase_segment_fns
     )
     vfin = jax.jit(jax.vmap(single.finalize_fn, in_axes=(0, 0, 0, 0, None)))
+    lam_scales = tuple(
+        _coarse_lambda_scale(model, cm) for cm in model.coarse_levels
+    )
 
     def run(kspaces, masks, keys, statics) -> FitResult:
         lambdas = fit_schedule(cfg)
-        lam_scale = _coarse_lambda_scale(model) if model.coarse else 1.0
         params, opt_state, k_in, scale = vinit(kspaces, keys, statics)
         losses = []
-        for s, e, coarse in fit_windows(cfg, segment_len):
+        for s, e, phase in fit_windows(cfg, segment_len):
             seg = lambdas[s:e]
-            if coarse:
-                seg = _scale_coarse_sched(seg, lam_scale)
-            fn = vseg_c if coarse else vseg
+            if phase >= 0:
+                seg = _scale_coarse_sched(seg, lam_scales[phase])
+            fn = vseg_phase[phase] if phase >= 0 else vseg
             params, opt_state, l = fn(
                 params, opt_state, k_in, masks, jnp.asarray(seg), statics
             )

@@ -35,16 +35,25 @@ def c2f_cfg(iters=11, coarse_iters=5, coarse_size=16):
 
 
 def test_fit_windows_split():
+    # Phase index convention: 0.. = coarse_levels index, -1 = full res.
     cfg = c2f_cfg(iters=11, coarse_iters=5)
     assert fit_windows(cfg, 4) == [
-        (0, 4, True), (4, 5, True), (5, 9, False), (9, 11, False)
+        (0, 4, 0), (4, 5, 0), (5, 9, -1), (9, 11, -1)
     ]
     # No coarse phase: plain segmentation.
     cfg0 = c2f_cfg(iters=11, coarse_iters=0)
-    assert fit_windows(cfg0, 4) == [(0, 4, False), (4, 8, False), (8, 11, False)]
+    assert fit_windows(cfg0, 4) == [(0, 4, -1), (4, 8, -1), (8, 11, -1)]
     # coarse_iters >= iters: all coarse.
     cfga = c2f_cfg(iters=6, coarse_iters=9)
-    assert fit_windows(cfga, 4) == [(0, 4, True), (4, 6, True)]
+    assert fit_windows(cfga, 4) == [(0, 4, 0), (4, 6, 0)]
+    # Multi-level schedule: one span per phase, boundaries respected.
+    cfgm = dataclasses.replace(
+        c2f_cfg(iters=12, coarse_iters=0),
+        coarse_schedule=((3, 8), (4, 16)),
+    )
+    assert fit_windows(cfgm, 4) == [
+        (0, 3, 0), (3, 7, 1), (7, 11, -1), (11, 12, -1)
+    ]
 
 
 def test_coarse_hw_constraints():
@@ -120,6 +129,42 @@ def test_c2f_batched_matches_single():
         np.asarray(jnp.abs(batched.image[0])), np.asarray(jnp.abs(one.image)),
         rtol=1e-4, atol=1e-4,
     )
+
+
+def test_multilevel_segmented_matches_single_graph():
+    """Two-level pyramid (8 -> 16 -> 32): segmented == one-graph scan, and
+    the schedule clamps when coarse iters exceed the budget."""
+    img = phantom_stack(1, 32, 32, seed=6)[0]
+    sim = simulate_motion_2d(jax.random.PRNGKey(0), img, n_movements=2)
+    cfg = dataclasses.replace(
+        c2f_cfg(iters=12, coarse_iters=0),
+        coarse_schedule=((3, 8), (4, 16)),
+    )
+    masks, _ = extract_movement_groups(sim.mask[0], 32, 4)
+    model = build_immoco(cfg, 32, 32)
+    assert len(model.coarse_levels) == 2
+    assert [cm.height for cm in model.coarse_levels] == [8, 16]
+    key = jax.random.PRNGKey(7)
+    one = jax.jit(make_instance_fit(model))(
+        sim.kspace, masks, key, model.statics
+    )
+    assert one.losses.shape == (12,)
+    assert np.all(np.isfinite(np.asarray(one.losses)))
+    seg = make_segmented_fit(model, segment_len=5)(
+        sim.kspace, masks, key, model.statics
+    )
+    np.testing.assert_allclose(
+        np.asarray(seg.losses), np.asarray(one.losses), rtol=1e-5, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(jnp.abs(seg.image)), np.asarray(jnp.abs(one.image)),
+        rtol=1e-4, atol=1e-4,
+    )
+    # Clamping: total coarse iters > cfg.iters trims the tail phase.
+    from miccai24_immoco_tpu.models.immoco import coarse_phases
+
+    cfgc = dataclasses.replace(cfg, coarse_schedule=((9, 8), (9, 16)))
+    assert coarse_phases(cfgc) == ((9, 8), (3, 16))
 
 
 def test_c2f_ema_carry():
