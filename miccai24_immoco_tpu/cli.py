@@ -267,6 +267,7 @@ def cmd_eval_immoco(args):
                 corpus, cfg, kld=kld, limit=args.limit,
                 batch_size=args.batch_size, buckets=buckets,
                 collect_images=True, restarts=args.restarts,
+                restart_select=args.restart_select,
             )
         wall[scenario] = {
             "wall_s": round(time.perf_counter() - t0, 3),
@@ -768,9 +769,12 @@ def build_parser() -> argparse.ArgumentParser:
     e.add_argument("--per-slice", action="store_true",
                    help="legacy sequential runner instead of batched")
     e.add_argument("--restarts", type=int, default=1,
-                   help="best-of-K restart selection by gradient entropy "
+                   help="best-of-K restart selection "
                         "(self-supervised; addresses heavy-scenario init "
                         "sensitivity; K x fit cost)")
+    e.add_argument("--restart-select", default="ge", choices=("ge", "loss"),
+                   help="restart criterion: min gradient entropy, or min "
+                        "final-iteration loss (~data-consistency residual)")
     e.set_defaults(fn=cmd_eval_immoco)
 
     e = sub.add_parser("eval-autofocus")

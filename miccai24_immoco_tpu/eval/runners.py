@@ -146,6 +146,7 @@ def run_immoco_batched(
     buckets: Optional[Sequence[int]] = None,
     collect_images: bool = False,
     restarts: int = 1,
+    restart_select: str = "ge",
 ):
     """Batched variant of run_immoco: slices are fitted in vmapped batches
     (the production throughput mode; parallel/sharded_fit machinery).
@@ -163,11 +164,17 @@ def run_immoco_batched(
 
     ``restarts``: best-of-K restart selection (deliberate divergence; the
     reference fits once).  Each slice is fitted ``restarts`` times from
-    different init keys and the result with the LOWEST gradient entropy of
-    the reconstructed image is kept — a self-supervised criterion (GE is
-    the fit's own prior, no GT involved) that addresses the heavy-scenario
-    init sensitivity (scripts/probe_init_variance.py: ~3 dB per-seed PSNR
-    spread on failing heavy slices, min-GE tracks the better seeds).
+    different init keys and one result is kept by the self-supervised
+    ``restart_select`` criterion (no GT involved):
+      - "ge":   lowest gradient entropy of the reconstructed image (the
+        fit's own prior; scripts/probe_init_variance.py: min-GE tracks the
+        better seeds on failing heavy slices), or
+      - "loss": lowest final-iteration fit loss — the lambda schedule has
+        decayed to ~0 by the last iteration, so this is effectively the
+        k-space data-consistency residual.  Measured on the worst heavy
+        slices (scripts/probe_failing_heavy.py, seed table in
+        PERFORMANCE.md): picks the best-PSNR seed on 2/3 slices where
+        min-GE prefers over-smoothed fits.
     Cost scales linearly with K.  restarts=1 is bit-identical to before.
     """
     import dataclasses as _dc
@@ -226,6 +233,8 @@ def run_immoco_batched(
         by_bucket.setdefault(bucket_of(c), []).append(i)
 
     restarts = max(int(restarts), 1)
+    if restart_select not in ("ge", "loss"):
+        raise ValueError(f"unknown restart_select {restart_select!r}")
     vge = jax.jit(jax.vmap(gradient_entropy)) if restarts > 1 else None
     metrics_by_idx: Dict[int, Dict[str, float]] = {}
     ge_by_idx: Dict[int, float] = {}
@@ -258,11 +267,12 @@ def run_immoco_batched(
                 ]
             )
             result = run(ksp, masks, keys, model.statics)
-            ges = (
-                np.asarray(vge(result.image))
-                if restarts > 1
-                else np.zeros(batch_size)
-            )
+            if restarts == 1:
+                ges = np.zeros(batch_size)
+            elif restart_select == "loss":
+                ges = np.asarray(result.losses[:, -1])
+            else:
+                ges = np.asarray(vge(result.image))
             for j, (i, _s) in enumerate(batch):
                 if i in ge_by_idx and ge_by_idx[i] <= ges[j]:
                     continue  # an earlier restart of this slice won on GE

@@ -632,11 +632,12 @@ def make_segmented_fit(model: IMMoCoModel, segment_len: int = 25):
     Numerically identical to make_instance_fit (same scan body, same Adam
     state threading).
 
-    Returns (init_fn, segment_fn, finalize_fn):
-      init_fn(kspace, key, statics) -> (params, opt_state, k_in, scale)
-      segment_fn(params, opt_state, k_in, masks, sched_seg, statics)
-          -> (params, opt_state, losses_seg)
-      finalize_fn(params, k_in, masks, scale, statics) -> FitResult-less
+    Returns ``run`` with attached pieces:
+      run.init_fn(kspace, key, statics) -> (params, opt_state, k_in, scale)
+      run.segment_fn(params, opt_state, k_in, masks, sched_seg, statics)
+          -> (params, opt_state, losses_seg)      [full-resolution phase]
+      run.phase_segment_fns[i]                    [coarse_levels[i] phase]
+      run.finalize_fn(params, k_in, masks, scale, statics) -> FitResult-less
           tuple (image, kspace_forward) at input scale
 
     With cfg.ema_decay > 0 the ``params`` slot is a {"p", "e"} dict (iterate

@@ -138,6 +138,20 @@ def test_run_immoco_batched_restarts(corpus):
         # noise only; the (slice, seed) key tree is the same.
         np.testing.assert_allclose(ma["psnr"], mb["psnr"], rtol=1e-3)
         np.testing.assert_allclose(ma["psnr"], mc["psnr"], rtol=1e-3)
+    # Final-loss criterion: also deterministic + finite, and each slice's
+    # result is one of the same per-seed fits (same keys) the GE run saw.
+    d = run_immoco_batched(corpus, cfg, batch_size=2, segment_len=3,
+                           restarts=2, restart_select="loss")
+    d2 = run_immoco_batched(corpus, cfg, batch_size=2, segment_len=3,
+                            restarts=2, restart_select="loss")
+    for md, md2 in zip(d, d2):
+        assert np.isfinite(md["psnr"])
+        assert md == md2
+    import pytest
+
+    with pytest.raises(ValueError):
+        run_immoco_batched(corpus, cfg, batch_size=2, segment_len=3,
+                           restarts=2, restart_select="nope")
 
 
 def test_run_immoco_batched_bucketing_exact(corpus):
