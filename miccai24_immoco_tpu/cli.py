@@ -245,7 +245,13 @@ def cmd_eval_immoco(args):
 
     # Reference hyperparameters + the measured-best TPU execution config
     # (lattice encodings, Pallas tiled warp, bf16 compute) on accelerators.
-    cfg = InstanceFitConfig(iters=args.iters, **_bench_like_fit_kwargs())
+    cfg = InstanceFitConfig(
+        iters=args.iters,
+        lambda_motion=args.lambda_motion,
+        dc_replace=args.dc_replace or args.dc_motion_gate > 0,
+        dc_motion_gate_px=args.dc_motion_gate,
+        **_bench_like_fit_kwargs(),
+    )
     kld = _load_kld(args)
     buckets = (
         tuple(int(b) for b in args.buckets.split(",")) if args.buckets else None
@@ -775,6 +781,15 @@ def build_parser() -> argparse.ArgumentParser:
     e.add_argument("--restart-select", default="ge", choices=("ge", "loss"),
                    help="restart criterion: min gradient entropy, or min "
                         "final-iteration loss (~data-consistency residual)")
+    e.add_argument("--dc-replace", action="store_true",
+                   help="hard data-consistency projection on the output "
+                        "(config.py dc_replace; the e2e protocol's setting)")
+    e.add_argument("--lambda-motion", type=float, default=0.0,
+                   help="displacement-L2 penalty weight "
+                        "(config.py lambda_motion)")
+    e.add_argument("--dc-motion-gate", type=float, default=0.0,
+                   help="motion-gated DC threshold in px (implies "
+                        "--dc-replace; config.py dc_motion_gate_px)")
     e.set_defaults(fn=cmd_eval_immoco)
 
     e = sub.add_parser("eval-autofocus")

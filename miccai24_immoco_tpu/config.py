@@ -224,6 +224,26 @@ class InstanceFitConfig:
     # per-iteration cost at size s scales ~(s/H)^2 for the warp, so a
     # 192->256->320 ladder front-loads cheap iterations at equal quality.
     coarse_schedule: Tuple[Tuple[int, int], ...] = ()
+    # Displacement-magnitude regularizer (deliberate divergence, 0.0 =
+    # reference parity = no motion prior beyond the tanh bound,
+    # immoco.py:78-95): adds lambda_motion * mean over real movement groups
+    # of the squared normalized displacement field to the fit loss.  Under
+    # MILD corruption draws (movement groups whose lines barely moved) the
+    # unregularized bilevel fit can invent spurious motion — the Image INR
+    # then absorbs the inverse warp and the output replaces near-clean
+    # measured columns with smoothed INR content (the failing-heavy-slice
+    # mechanism, PERFORMANCE.md round 2).  A small L2 pull toward zero
+    # displacement is inert when real ghosts drive the data term but
+    # collapses spurious motion on still groups.
+    lambda_motion: float = 0.0
+    # Motion-gated hard data consistency in pixels (deliberate divergence,
+    # 0.0 = gate off; requires dc_replace): movement groups whose FITTED
+    # mean |displacement| falls below this threshold are treated as
+    # uncorrupted in the output DC projection — their measured k-space
+    # columns are kept instead of the INR spectrum.  Sub-pixel rigid motion
+    # produces negligible ghosting, so measured data beats INR content
+    # exactly where the fit says nothing moved.
+    dc_motion_gate_px: float = 0.0
 
 
 @dataclasses.dataclass(frozen=True)

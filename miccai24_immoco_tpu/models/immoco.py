@@ -148,13 +148,35 @@ class IMMoCoModel:
         pair = self.image_inr.apply(params["image"], statics["image"])
         return jax.lax.complex(pair[..., 0], pair[..., 1])
 
-    def forward(self, params, masks: jnp.ndarray, statics):
+    def forward(self, params, masks: jnp.ndarray, statics, with_motion=False):
         """masks: (max_movements, H, W) float32, zero-padded group masks.
 
-        Returns (kspace_out, image) exactly as immoco.py:82-113.
+        Returns (kspace_out, image) exactly as immoco.py:82-113.  With the
+        static flag ``with_motion`` additionally returns a motion-stats dict
+        computed on the displacement lattice (before any motion_res_factor
+        upsample — the upsample is a linear interp, so lattice statistics
+        track the full field):
+
+          "l2":      mean over real movement groups (mask row non-empty) of
+                     the squared normalized displacement — the
+                     cfg.lambda_motion penalty term;
+          "px_mean": (max_movements,) per-group mean |displacement| in
+                     pixels — the cfg.dc_motion_gate_px gate input.
         """
         image = self.predict_image(params, statics)
 
+        def motion_stats(dx, dy):
+            # dx/dy: (M, mh, mw) normalized displacements; px via the FULL
+            # raster extent (normalized units are raster-relative).
+            w_m = jnp.clip(masks.sum(axis=(-2, -1)), 0.0, 1.0)
+            sq = (dx * dx + dy * dy).mean(axis=(-2, -1))  # (M,)
+            l2 = (sq * w_m).sum() / jnp.maximum(w_m.sum(), 1.0)
+            mag_px = jnp.sqrt(
+                (dx * (self.width / 2.0)) ** 2 + (dy * (self.height / 2.0)) ** 2
+            ).mean(axis=(-2, -1))
+            return {"l2": l2, "px_mean": mag_px}
+
+        mot = None
         cf = self.motion_inr.apply_cf is not None
         if cf:
             # Channel-first motion path: every full-size intermediate is a
@@ -171,6 +193,8 @@ class IMMoCoModel:
                     jnp.float32,
                 ).reshape(2, 1, 1, 1)
                 disp_cf = disp_cf * scale_cf
+            if with_motion:
+                mot = motion_stats(disp_cf[0], disp_cf[1])
             if "motion_up" in statics:
                 # motion_res_factor upsample: two interp matmuls
                 # (2, M, mh, mw) -> (2, M, H, W); linear resample of the
@@ -197,6 +221,8 @@ class IMMoCoModel:
                     jnp.float32,
                 )
                 disp = disp * scale
+            if with_motion:
+                mot = motion_stats(disp[..., 0], disp[..., 1])
             if "motion_up" in statics:
                 uh, uw = statics["motion_up"]
                 disp = jnp.einsum("mpqc,jq->mpjc", disp, uw)
@@ -275,6 +301,8 @@ class IMMoCoModel:
             kfn = fft2c
         dc_term = kfn(image) * (1.0 - masks.sum(0))
         mov_term = (kfn(motion_images) * masks).sum(0)
+        if with_motion:
+            return dc_term + mov_term, image, mot
         return dc_term + mov_term, image
 
 
@@ -516,6 +544,15 @@ def make_instance_fit(
 
         def make_step(fwd_model, k_target, mask_arg, st):
             def loss_fn(p, lam):
+                if cfg.lambda_motion > 0:
+                    k_out, image, mot = fwd_model.forward(
+                        p, mask_arg, st, with_motion=True
+                    )
+                    return (
+                        real_pair_mse(k_out, k_target)
+                        + lam * gradient_entropy(image)
+                        + cfg.lambda_motion * mot["l2"]
+                    )
                 k_out, image = fwd_model.forward(p, mask_arg, st)
                 return real_pair_mse(k_out, k_target) + lam * gradient_entropy(
                     image
@@ -558,9 +595,9 @@ def make_instance_fit(
         )
         params = carry[2] if use_ema else carry[0]
 
-        k_fwd, image = model.forward(params, masks, statics)
+        k_fwd, image, mot = _forward_final(model, params, masks, statics)
         if cfg.dc_replace:
-            image = _dc_project(model, image, k_in, masks, statics)
+            image = _dc_project(model, image, k_in, masks, statics, mot)
         descale = scale / cfg.kspace_scale
         return FitResult(
             image=image * descale, kspace_forward=k_fwd * descale, losses=losses
@@ -569,18 +606,40 @@ def make_instance_fit(
     return fit
 
 
-def _dc_project(model, image, k_in, masks, statics):
+def _forward_final(model, params, masks, statics):
+    """Final forward pass of a fit: (k_fwd, image, motion-stats-or-None) —
+    motion stats only when the dc_motion_gate_px gate will consume them."""
+    if model.cfg.dc_replace and model.cfg.dc_motion_gate_px > 0:
+        return model.forward(params, masks, statics, with_motion=True)
+    k_fwd, image = model.forward(params, masks, statics)
+    return k_fwd, image, None
+
+
+def _dc_project(model, image, k_in, masks, statics, mot=None):
     """Hard data-consistency projection (cfg.dc_replace, see config.py):
     keep the measured spectrum on uncorrupted columns, the INR's on
     corrupted ones, and return the corresponding image (same scale as
-    ``image``/``k_in``)."""
+    ``image``/``k_in``).
+
+    With motion stats ``mot`` (cfg.dc_motion_gate_px > 0), groups whose
+    fitted mean |displacement| is below the gate are treated as uncorrupted
+    too: sub-pixel motion ghosts less than INR smoothing costs, so their
+    measured columns are kept (config.py dc_motion_gate_px)."""
     from miccai24_immoco_tpu.ops.fft import ifft2c
 
     if model.cfg.kspace_op == "dft_mm":
         kfn = lambda x: fft2c_mm(x, statics["dft"])  # noqa: E731
     else:
         kfn = fft2c
-    corrupted = jnp.clip(masks.sum(0), 0.0, 1.0)
+    if mot is not None:
+        moving = (
+            mot["px_mean"] >= model.cfg.dc_motion_gate_px
+        ).astype(masks.dtype)
+        corrupted = jnp.clip(
+            (masks * moving[:, None, None]).sum(0), 0.0, 1.0
+        )
+    else:
+        corrupted = jnp.clip(masks.sum(0), 0.0, 1.0)
     k_dc = k_in * (1.0 - corrupted) + kfn(image) * corrupted
     return ifft2c(k_dc)
 
@@ -669,6 +728,15 @@ def make_segmented_fit(model: IMMoCoModel, segment_len: int = 25):
                 st = statics
 
             def loss_fn(p, lam):
+                if cfg.lambda_motion > 0:
+                    k_out, image, mot = fwd_model.forward(
+                        p, masks, st, with_motion=True
+                    )
+                    return (
+                        real_pair_mse(k_out, k_in)
+                        + lam * gradient_entropy(image)
+                        + cfg.lambda_motion * mot["l2"]
+                    )
                 k_out, image = fwd_model.forward(p, masks, st)
                 return real_pair_mse(k_out, k_in) + lam * gradient_entropy(
                     image
@@ -706,11 +774,11 @@ def make_segmented_fit(model: IMMoCoModel, segment_len: int = 25):
 
     @jax.jit
     def finalize_fn(params, k_in, masks, scale, statics):
-        k_fwd, image = model.forward(
-            params["e"] if use_ema else params, masks, statics
+        k_fwd, image, mot = _forward_final(
+            model, params["e"] if use_ema else params, masks, statics
         )
         if cfg.dc_replace:
-            image = _dc_project(model, image, k_in, masks, statics)
+            image = _dc_project(model, image, k_in, masks, statics, mot)
         descale = scale / cfg.kspace_scale
         return image * descale, k_fwd * descale
 
