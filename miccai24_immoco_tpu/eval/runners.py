@@ -147,6 +147,7 @@ def run_immoco_batched(
     collect_images: bool = False,
     restarts: int = 1,
     restart_select: str = "ge",
+    return_diagnostics: bool = False,
 ):
     """Batched variant of run_immoco: slices are fitted in vmapped batches
     (the production throughput mode; parallel/sharded_fit machinery).
@@ -176,6 +177,12 @@ def run_immoco_batched(
         PERFORMANCE.md): picks the best-PSNR seed on 2/3 slices where
         min-GE prefers over-smoothed fits.
     Cost scales linearly with K.  restarts=1 is bit-identical to before.
+
+    ``return_diagnostics``: additionally return a per-slice dict list with
+    the SELECTED fit's final-iteration loss (the ~data-consistency residual
+    — the lambda schedule is ~0 by the last iteration), the detected group
+    count, the routed bucket size, and the corrupted-column count — the
+    self-supervised signals a do-no-harm fallback can threshold on.
     """
     import dataclasses as _dc
 
@@ -237,6 +244,7 @@ def run_immoco_batched(
         raise ValueError(f"unknown restart_select {restart_select!r}")
     vge = jax.jit(jax.vmap(gradient_entropy)) if restarts > 1 else None
     metrics_by_idx: Dict[int, Dict[str, float]] = {}
+    diag_by_idx: Dict[int, Dict[str, float]] = {}
     ge_by_idx: Dict[int, float] = {}
     last_images = None
     for size in sizes:
@@ -267,16 +275,30 @@ def run_immoco_batched(
                 ]
             )
             result = run(ksp, masks, keys, model.statics)
+            final_losses = (
+                np.asarray(result.losses[:, -1]) if return_diagnostics
+                else None
+            )
             if restarts == 1:
                 ges = np.zeros(batch_size)
             elif restart_select == "loss":
-                ges = np.asarray(result.losses[:, -1])
+                ges = (final_losses if final_losses is not None
+                       else np.asarray(result.losses[:, -1]))
             else:
                 ges = np.asarray(vge(result.image))
             for j, (i, _s) in enumerate(batch):
                 if i in ge_by_idx and ge_by_idx[i] <= ges[j]:
                     continue  # an earlier restart of this slice won on GE
                 ge_by_idx[i] = float(ges[j])
+                if return_diagnostics:
+                    diag_by_idx[i] = {
+                        "final_loss": float(final_losses[j]),
+                        "n_groups": slice_counts[i],
+                        "bucket": size,
+                        "corrupted_cols": float(
+                            np.asarray(slice_masks[i].sum())
+                        ) / h,
+                    }
                 metrics_by_idx[i] = _metrics_dict(
                     result.image[j], put_complex(gt_all[i])
                 )
@@ -302,6 +324,11 @@ def run_immoco_batched(
                         ),
                     }
     metrics = [metrics_by_idx[i] for i in range(n)]
+    if return_diagnostics:
+        diags = [diag_by_idx[i] for i in range(n)]
+        if collect_images:
+            return metrics, last_images, diags
+        return metrics, diags
     if collect_images:
         return metrics, last_images
     return metrics

@@ -177,3 +177,34 @@ def test_run_immoco_batched_bucketing_exact(corpus):
         collect_images=True,
     )
     assert images is not None and "Motion corrected image" in images
+
+
+def test_run_immoco_batched_diagnostics(corpus):
+    """return_diagnostics exposes the selected fit's final data-consistency
+    residual plus grouping facts — the self-supervised signals for do-no-
+    harm fallback (scripts/probe_fallback.py)."""
+    from miccai24_immoco_tpu.eval.runners import run_immoco_batched
+
+    cfg = small_cfg("lattice", "lattice", iters=5, max_movements=4)
+    metrics, diags = run_immoco_batched(
+        corpus, cfg, batch_size=2, segment_len=3, return_diagnostics=True
+    )
+    assert len(diags) == len(metrics) == 2
+    for d in diags:
+        assert np.isfinite(d["final_loss"]) and d["final_loss"] >= 0
+        assert d["n_groups"] == 2
+        assert d["bucket"] == 4
+        assert 0 < d["corrupted_cols"] < 32
+    # Plain call shape unchanged.
+    plain = run_immoco_batched(corpus, cfg, batch_size=2, segment_len=3)
+    assert isinstance(plain, list) and len(plain) == 2
+    # With restarts, the diagnostic follows the SELECTED restart.
+    m2, d2 = run_immoco_batched(
+        corpus, cfg, batch_size=2, segment_len=3, restarts=2,
+        restart_select="loss", return_diagnostics=True,
+    )
+    m2b, d2b = run_immoco_batched(
+        corpus, cfg, batch_size=2, segment_len=3, restarts=2,
+        restart_select="loss", return_diagnostics=True,
+    )
+    assert d2 == d2b and m2 == m2b
