@@ -43,7 +43,7 @@ def _c2f_env():
     """Coarse-to-fine knobs: BENCH_C2F is either a single phase length (run
     at BENCH_CSIZE^2) or a '+'-separated multi-level pyramid like
     '40@192+50@256' (config.py coarse_schedule).  0 disables."""
-    c2f = os.environ.get("BENCH_C2F", "75")
+    c2f = os.environ.get("BENCH_C2F", "30@192+45@256")
     if "@" in c2f:
         sched = tuple(
             (int(p.split("@")[0]), int(p.split("@")[1]))
@@ -97,19 +97,19 @@ def main():
         warp_tile_px=int(os.environ.get("BENCH_TILE", "0")),
         warp_impl=os.environ.get("BENCH_WARP", "pallas_tiled"),
         warp_pallas_tile_px=int(os.environ.get("BENCH_PTILE", "64")),
-        # Default 2: the displacement field is evaluated on a 160^2 lattice
-        # and linearly upsampled — measured 3.04 -> 2.72 s/slice at
-        # identical quality (ssim 0.9863 vs 0.9866, PERFORMANCE.md round 2);
-        # BENCH_MOTRES=4 gives 2.58 with a slight ssim dip (0.9849).
-        motion_res_factor=int(os.environ.get("BENCH_MOTRES", "2")),
+        # Default 4: the displacement field is evaluated on an 80^2 lattice
+        # and linearly upsampled.  Under coarse-to-fine, motres 4 is
+        # quality-neutral-to-positive (PERFORMANCE.md round 2 cont.:
+        # 75@256 at 2.34/0.9891/35.12 -> +motres4 2.22/0.9888/35.22).
+        motion_res_factor=int(os.environ.get("BENCH_MOTRES", "4")),
         # Coarse-to-fine: BENCH_C2F iterations against the center-cropped
-        # k-space on a BENCH_CSIZE^2 raster first (0 = off; see config.py).
-        # Default 75@256 is the measured light-scenario optimum (2.34
-        # s/slice, ssim 0.9891/psnr 35.12 — strictly dominates the non-c2f
-        # 2.72/0.9866/35.07); for heavy (BENCH_NMOV=18 BENCH_MAXMOV=24) use
-        # BENCH_C2F=50, which dominates the heavy baseline (5.83 s/slice,
-        # ssim 0.9695/psnr 31.34 vs 6.52/0.9612/31.01) — longer coarse
-        # phases degrade heavy quality (PERFORMANCE.md c2f table).
+        # k-space on a BENCH_CSIZE^2 raster first (0 = off), or a
+        # '+'-separated pyramid (config.py coarse_schedule).  Default
+        # 30@192+45@256 (+motres4) is the measured light-scenario optimum:
+        # 2.12 s/slice, ssim 0.9885/psnr 35.20 vs the round-2 default
+        # 75@256+motres2 at 2.34/0.9891/35.12.  For heavy (BENCH_NMOV=18
+        # BENCH_MAXMOV=24) use BENCH_C2F=50: 5.58/0.9678/31.48 — pyramids
+        # and longer coarse phases REGRESS heavy psnr (PERFORMANCE.md).
         **_c2f_env(),
     )
 

@@ -148,6 +148,7 @@ def run_immoco_batched(
     restarts: int = 1,
     restart_select: str = "ge",
     return_diagnostics: bool = False,
+    fallback_loss: Optional[float] = None,
 ):
     """Batched variant of run_immoco: slices are fitted in vmapped batches
     (the production throughput mode; parallel/sharded_fit machinery).
@@ -183,6 +184,13 @@ def run_immoco_batched(
     — the lambda schedule is ~0 by the last iteration), the detected group
     count, the routed bucket size, and the corrupted-column count — the
     self-supervised signals a do-no-harm fallback can threshold on.
+
+    ``fallback_loss``: per-slice do-no-harm fallback (deliberate divergence;
+    the reference always returns the fit, immoco.py:206).  A fit whose
+    final data-consistency residual exceeds this threshold has, by its own
+    account, failed to model the measured data; such slices report the
+    corrupted (zero-motion) reconstruction instead.  Self-supervised — no
+    ground truth involved; diagnostics mark them with "fallback": True.
     """
     import dataclasses as _dc
 
@@ -276,7 +284,8 @@ def run_immoco_batched(
             )
             result = run(ksp, masks, keys, model.statics)
             final_losses = (
-                np.asarray(result.losses[:, -1]) if return_diagnostics
+                np.asarray(result.losses[:, -1])
+                if (return_diagnostics or fallback_loss is not None)
                 else None
             )
             if restarts == 1:
@@ -290,7 +299,7 @@ def run_immoco_batched(
                 if i in ge_by_idx and ge_by_idx[i] <= ges[j]:
                     continue  # an earlier restart of this slice won on GE
                 ge_by_idx[i] = float(ges[j])
-                if return_diagnostics:
+                if final_losses is not None:
                     diag_by_idx[i] = {
                         "final_loss": float(final_losses[j]),
                         "n_groups": slice_counts[i],
@@ -323,6 +332,27 @@ def run_immoco_batched(
                             jnp.abs(put_complex(gt_all[i]))
                         ),
                     }
+    if fallback_loss is not None:
+        for i in range(n):
+            diag_by_idx[i]["fallback"] = False
+            if diag_by_idx[i]["final_loss"] <= fallback_loss:
+                continue
+            diag_by_idx[i]["fallback"] = True
+            corrupted_img = ifft2c(put_complex(ks_all[i]))
+            metrics_by_idx[i] = _metrics_dict(
+                corrupted_img, put_complex(gt_all[i])
+            )
+            if gt_clean_all is not None:
+                clean = _metrics_dict(
+                    corrupted_img, put_complex(gt_clean_all[i])
+                )
+                metrics_by_idx[i].update(
+                    {f"{k}_clean": v for k, v in clean.items()}
+                )
+            if collect_images and last_images is not None and i == n - 1:
+                last_images["Motion corrected image"] = np.asarray(
+                    jnp.abs(corrupted_img)
+                )
     metrics = [metrics_by_idx[i] for i in range(n)]
     if return_diagnostics:
         diags = [diag_by_idx[i] for i in range(n)]

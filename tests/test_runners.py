@@ -208,3 +208,35 @@ def test_run_immoco_batched_diagnostics(corpus):
         restart_select="loss", return_diagnostics=True,
     )
     assert d2 == d2b and m2 == m2b
+
+
+def test_run_immoco_batched_fallback(corpus):
+    """fallback_loss: a threshold of 0 forces every slice to fall back to
+    the corrupted reconstruction (its metrics equal the direct corrupted
+    scoring); an inf threshold is a no-op vs the plain run."""
+    from miccai24_immoco_tpu.eval.runners import run_immoco_batched
+    from miccai24_immoco_tpu.ops.fft import ifft2c
+    from miccai24_immoco_tpu.utils.hostio import put_complex
+
+    cfg = small_cfg("lattice", "lattice", iters=5, max_movements=4)
+    plain = run_immoco_batched(corpus, cfg, batch_size=2, segment_len=3)
+    noop, d_noop = run_immoco_batched(
+        corpus, cfg, batch_size=2, segment_len=3, fallback_loss=float("inf"),
+        return_diagnostics=True,
+    )
+    assert plain == noop
+    assert all(d["fallback"] is False for d in d_noop)
+
+    forced, d_forced = run_immoco_batched(
+        corpus, cfg, batch_size=2, segment_len=3, fallback_loss=0.0,
+        return_diagnostics=True,
+    )
+    assert all(d["fallback"] is True for d in d_forced)
+    from miccai24_immoco_tpu.eval.runners import _metrics_dict
+
+    for i, m in enumerate(forced):
+        expect = _metrics_dict(
+            ifft2c(put_complex(corpus["kspace_motion"][i])),
+            put_complex(corpus["image_rss"][i]),
+        )
+        assert m["psnr"] == expect["psnr"] and m["ssim"] == expect["ssim"]
