@@ -78,7 +78,20 @@ def main():
     # light protocol: 8 movements; 10 covers every light slice (6-9 groups
     # plus headroom — the full-recipe detector segments at dice 0.9996, so
     # over-segmentation is rare; warp cost scales linearly in max_mov).
-    # Heavy runs use 24.
+    # Heavy simulation uses 24 (the corpus convention), but the FIT only
+    # needs n_movements groups: run-length grouping of N movements yields
+    # <= N groups, and zero-padded masks make truncation to any bucket >=
+    # the group count exact (tests/test_immoco_fit.py padding invariance).
+    # BENCH_FITMOV sets the fit/bucket padding independently — the
+    # production eval's movement bucketing (eval/runners.py buckets=[18]);
+    # heavy: BENCH_NMOV=18 BENCH_MAXMOV=24 BENCH_FITMOV=18.
+    n_mov = int(os.environ.get("BENCH_NMOV", "8"))  # light=8, heavy=18
+    fit_mov = int(os.environ.get("BENCH_FITMOV", str(max_mov)))
+    if fit_mov > max_mov or fit_mov < n_mov:
+        raise SystemExit(
+            f"BENCH_FITMOV={fit_mov} must satisfy BENCH_NMOV={n_mov} <= "
+            f"fit_mov <= BENCH_MAXMOV={max_mov}"
+        )
 
     # Banding measured slightly slower than dense one-hots at 320^2 (the
     # K=96 blocks underutilize the MXU); the displacement cap alone improves
@@ -87,7 +100,7 @@ def main():
     disp_cap = int(os.environ.get("BENCH_DISPCAP", "30"))
     cfg = InstanceFitConfig(
         iters=iters,
-        max_movements=max_mov,
+        max_movements=fit_mov,
         image_inr=ImageINRConfig(encoding=enc),
         motion_inr=MotionINRConfig(encoding="lattice"),
         warp_band_px=band,
@@ -115,16 +128,18 @@ def main():
 
     images = phantom_stack(batch, size, size, seed=0)
 
-    n_mov = int(os.environ.get("BENCH_NMOV", "8"))  # light=8; heavy: 18 + BENCH_MAXMOV=24
-
     @jax.jit
     def prepare(images, key):
         keys = jax.random.split(key, images.shape[0])
 
         def one(img, k):
+            # Simulation keeps the corpus' max_movements padding (the draw
+            # depends on it); the fit pads only to fit_mov — grouping N
+            # movements yields <= N groups, so rows beyond fit_mov are
+            # all-zero and truncation is exact.
             sim = simulate_motion_2d(k, img, n_movements=n_mov, max_movements=max_mov)
             masks, _ = extract_movement_groups(sim.mask[0], size, max_mov)
-            return sim.kspace, masks
+            return sim.kspace, masks[:fit_mov]
 
         return jax.vmap(one)(images, keys)
 
@@ -179,7 +194,8 @@ def main():
                 "size": size,
                 "encoding": enc,
                 "band_px": band,
-                "max_movements": max_mov,
+                "max_movements": fit_mov,
+                "sim_max_movements": max_mov,
                 "ssim_fit": round(float(fit_q[0]), 4),
                 "psnr_fit": round(float(fit_q[1]), 2),
                 "ssim_corrupted": round(float(cor_q[0]), 4),

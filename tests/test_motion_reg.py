@@ -166,3 +166,28 @@ def test_segmented_matches_single_with_lambda_motion():
         np.asarray(res_single.losses[:3]), np.asarray(res_seg.losses[:3]),
         rtol=1e-4, atol=1e-5,
     )
+
+
+def test_motion_stats_with_coarse_motion_lattice():
+    """with_motion composes with motion_res_factor > 1 (stats are computed
+    on the coarse lattice, before the upsample matmuls) and with the
+    channel-first lattice path."""
+    cfg = _cfg(motion_res_factor=2, motion_disp_px=10.0)
+    kspace, masks = _corrupted()
+    model = build_immoco(cfg, 64, 64)
+    params = model.init(jax.random.PRNGKey(2))
+    k, img, mot = model.forward(params, masks, model.statics, with_motion=True)
+    assert mot["px_mean"].shape == (cfg.max_movements,)
+    # tanh output scaled by the 10 px cap: per-group means stay within it.
+    assert float(mot["px_mean"].max()) <= 10.0 * np.sqrt(2.0) + 1e-3
+    assert np.isfinite(float(mot["l2"]))
+    # The fit paths run end-to-end under the combined config.
+    combo = build_immoco(
+        _cfg(iters=4, motion_res_factor=2, motion_disp_px=10.0,
+             lambda_motion=1.0, dc_replace=True, dc_motion_gate_px=0.25),
+        64, 64,
+    )
+    res = make_instance_fit(combo)(
+        kspace, masks, jax.random.PRNGKey(0), combo.statics
+    )
+    assert np.isfinite(np.abs(np.asarray(res.image)).max())
