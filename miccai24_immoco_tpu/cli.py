@@ -627,15 +627,16 @@ def cmd_eval_afplus(args):
                                 num_pool_layers=args.pools, norm="instance"))
     params = _unwrap_params(_load_ckpt(args.ckpt))
 
-    def metric_fn(img):
-        return net.apply({"params": params}, img[None, :, :, None],
+    def metric_apply(p, img):
+        return net.apply({"params": p}, img[None, :, :, None],
                          train=False)[0, :, :, 0]
 
     per_scenario = {}
     for scenario in args.scenarios.split(","):
         corpus = _get_corpus(args, scenario)
         per_scenario[scenario] = run_afplus(
-            corpus, metric_fn, AFPlusConfig(iters=args.iters), limit=args.limit
+            corpus, cfg=AFPlusConfig(iters=args.iters), limit=args.limit,
+            metric_apply=metric_apply, params=params,
         )
     save_report(per_scenario, args.out_dir, "afplus")
     print(json.dumps({s: _agg(m) for s, m in per_scenario.items()}, indent=2))

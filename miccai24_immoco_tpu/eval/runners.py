@@ -32,7 +32,7 @@ from miccai24_immoco_tpu.config import (
     InstanceFitConfig,
 )
 from miccai24_immoco_tpu.eval.harness import METRIC_NAMES, _slice_metrics
-from miccai24_immoco_tpu.models.af_plus import make_afplus_fit
+from miccai24_immoco_tpu.models.af_plus import make_afplus_fit, make_afplus_fit_p
 from miccai24_immoco_tpu.models.autofocusing import make_autofocus_fit
 from miccai24_immoco_tpu.models.immoco import build_immoco, make_instance_fit
 from miccai24_immoco_tpu.ops.fft import ifft2c
@@ -397,17 +397,31 @@ def run_autofocusing(
 
 def run_afplus(
     corpus: dict,
-    metric_fn: Callable[[jnp.ndarray], jnp.ndarray],
+    metric_fn: Optional[Callable[[jnp.ndarray], jnp.ndarray]] = None,
     cfg: AFPlusConfig = AFPlusConfig(),
     limit: Optional[int] = None,
+    *,
+    metric_apply=None,
+    params=None,
 ):
+    """AF+ eval loop (test_afplus_original.py protocol).
+
+    Pass EITHER metric_fn (closure over params — tests/small nets only:
+    closed-over params become trace-time HLO constants) OR
+    metric_apply=(params, img)->logits with params — the statics-discipline
+    path required for real checkpoints on the remote-compile runtime; it
+    also lets several param sets share one compiled fit."""
     ks_all = corpus["kspace_motion"]
     gt_all = corpus["image_rss"]
     n = ks_all.shape[0] if limit is None else min(limit, ks_all.shape[0])
-    fit = jax.jit(make_afplus_fit(metric_fn, cfg))
+    if metric_apply is not None:
+        fit_p = jax.jit(make_afplus_fit_p(metric_apply, cfg))
+        call = lambda k: fit_p(k, params)
+    else:
+        call = jax.jit(make_afplus_fit(metric_fn, cfg))
     metrics = []
     for i in range(n):
-        result = fit(put_complex(ks_all[i]))
+        result = call(put_complex(ks_all[i]))
         metrics.append(_metrics_dict(result.image, put_complex(gt_all[i])))
     return metrics
 

@@ -59,18 +59,26 @@ def rotate_kspace(ks: jnp.ndarray, rot_vector: jnp.ndarray, oversamp: int = 5,
     return fft2c(img)
 
 
-def make_afplus_fit(
-    metric_fn: Callable[[jnp.ndarray], jnp.ndarray],
+def make_afplus_fit_p(
+    metric_apply: Callable[[object, jnp.ndarray], jnp.ndarray],
     cfg: AFPlusConfig = AFPlusConfig(),
 ):
-    """Build the jittable AF+ fit.
+    """Build the jittable AF+ fit with the metric net's params as a traced
+    argument.
 
     Args:
-      metric_fn: (H, W) magnitude image -> (H, W) artifact logits, i.e. the
-        trained metric U-Net applied to a single-channel image.
+      metric_apply: (params, (H, W) magnitude image) -> (H, W) artifact
+        logits — the metric U-Net's apply function.
+
+    Returns fit(kspace, params). The params MUST be an argument, not a
+    closure capture: closure-captured params become trace-time constants
+    baked into the HLO (the ~28 MB U-Net blows past the remote compiler's
+    request-size limit and constant-folds for minutes — the statics
+    discipline, CLAUDE.md landmine #5).
     """
 
-    def fit(kspace: jnp.ndarray) -> AFPlusResult:
+    def fit(kspace: jnp.ndarray, params) -> AFPlusResult:
+        metric_fn = lambda img: metric_apply(params, img)
         ps = kspace.shape[-1]
         ps_cf = int(ps // 2 * cfg.center_fraction)
         zero_middle = jnp.ones((ps,), jnp.float32)
@@ -122,5 +130,26 @@ def make_afplus_fit(
         xs, ys, rot = carry[0] * zero_middle, carry[1] * zero_middle, carry[2] * zero_middle
         yp_ks = transform(xs, ys, rot)
         return AFPlusResult(image=ifft2c(yp_ks), losses=losses)
+
+    return fit
+
+
+def make_afplus_fit(
+    metric_fn: Callable[[jnp.ndarray], jnp.ndarray],
+    cfg: AFPlusConfig = AFPlusConfig(),
+):
+    """Build the jittable AF+ fit from a closed-over metric function.
+
+    Args:
+      metric_fn: (H, W) magnitude image -> (H, W) artifact logits, i.e. the
+        trained metric U-Net applied to a single-channel image.
+
+    NOTE: if metric_fn closes over network params, they are baked into the
+    compiled graph as constants — fine for tests/small nets, but use
+    make_afplus_fit_p for real checkpoints (statics discipline)."""
+    inner = make_afplus_fit_p(lambda _p, img: metric_fn(img), cfg)
+
+    def fit(kspace: jnp.ndarray) -> AFPlusResult:
+        return inner(kspace, None)
 
     return fit

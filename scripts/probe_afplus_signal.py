@@ -81,12 +81,17 @@ def main():
         train=False,
     )["params"]
 
-    def metric_fn_of(params):
-        return lambda img: net.apply(
-            {"params": params}, img[None, :, :, None], train=False
+    def metric_apply(p, img):
+        return net.apply(
+            {"params": p}, img[None, :, :, None], train=False
         )[0, :, :, 0]
 
-    cfg = AFPlusConfig(iters=iters)
+    # matmul-mode NUFFT builds dense (N, G) one-hot matrices sized for the
+    # MXU; on CPU the tap-loop scatter backend is the tractable one.
+    cfg = AFPlusConfig(
+        iters=iters,
+        nufft_mode="scatter" if os.environ.get("PROBE_CPU") else "matmul",
+    )
     rows = {}
     corrupted = [
         _metrics_dict(
@@ -97,7 +102,12 @@ def main():
     ]
     rows["corrupted"] = corrupted
     for name, params in (("untrained", untrained), ("trained", trained)):
-        rows[name] = run_afplus(corpus, metric_fn_of(params), cfg)
+        # Params threaded as a jit argument (statics discipline): both nets
+        # share one compiled fit, and the 28 MB checkpoint never gets baked
+        # into the HLO (the remote compiler 413s on constant-folded params).
+        rows[name] = run_afplus(
+            corpus, cfg=cfg, metric_apply=metric_apply, params=params
+        )
         agg = {
             k: round(float(np.mean([m[k] for m in rows[name]])), 4)
             for k in rows[name][0]

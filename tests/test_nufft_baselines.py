@@ -152,6 +152,28 @@ def test_afplus_fit_smoke():
     assert np.isfinite(np.asarray(r.losses)).all()
 
 
+def test_afplus_fit_params_arg_matches_closure():
+    """make_afplus_fit_p (params as a traced jit argument — the statics
+    discipline required for real checkpoints on the remote-compile runtime)
+    is bit-identical to the closure-capture path."""
+    from miccai24_immoco_tpu.models.af_plus import make_afplus_fit_p
+
+    img = phantom_stack(1, 32, 32, seed=11)[0]
+    sim = simulate_motion_2d(jax.random.PRNGKey(2), img, n_movements=2)
+    cfg = AFPlusConfig(iters=3)
+    scale = jnp.float32(0.7)  # a real "parameter" shaping the metric
+
+    r_closure = jax.jit(make_afplus_fit(lambda x: scale * x, cfg))(sim.kspace)
+    fit_p = jax.jit(make_afplus_fit_p(lambda p, x: p * x, cfg))
+    r_param = fit_p(sim.kspace, scale)
+    np.testing.assert_array_equal(
+        np.asarray(r_closure.losses), np.asarray(r_param.losses)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(r_closure.image), np.asarray(r_param.image)
+    )
+
+
 def test_nufft_matmul_mode_matches_scatter(rng):
     from miccai24_immoco_tpu.ops.nufft import nufft2, nufft_adjoint
 
