@@ -115,6 +115,10 @@ def main():
         # quality-neutral-to-positive (PERFORMANCE.md round 2 cont.:
         # 75@256 at 2.34/0.9891/35.12 -> +motres4 2.22/0.9888/35.22).
         motion_res_factor=int(os.environ.get("BENCH_MOTRES", "4")),
+        # Trailing motion-frozen iterations (BENCH_FREEZE=K): the last K
+        # full-res iterations hold the Motion INR fixed and run the warp as
+        # precomputed-weight MXU applies (config.py motion_freeze_iters).
+        motion_freeze_iters=int(os.environ.get("BENCH_FREEZE", "0")),
         # Coarse-to-fine: BENCH_C2F iterations against the center-cropped
         # k-space on a BENCH_CSIZE^2 raster first (0 = off), or a
         # '+'-separated pyramid (config.py coarse_schedule).  Default

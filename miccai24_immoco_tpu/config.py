@@ -244,6 +244,22 @@ class InstanceFitConfig:
     # produces negligible ghosting, so measured data beats INR content
     # exactly where the fit says nothing moved.
     dc_motion_gate_px: float = 0.0
+    # Trailing motion-frozen phase (deliberate divergence, 0 = reference
+    # parity = joint optimization for all iterations, immoco.py:149-175):
+    # the LAST ``motion_freeze_iters`` full-resolution iterations hold the
+    # Motion INR fixed and optimize the Image INR alone.  The sampling
+    # grids are then segment-constant, so the hat-weight one-hots — the
+    # measured VPU floor of every build+apply warp variant (PERFORMANCE.md
+    # item 2a) — are built ONCE per compiled segment and each iteration
+    # runs pure-MXU weight applies forward and backward
+    # (ops/warp_mm.bilinear_weights_tiled/bilinear_apply_tiled).  The
+    # lambda schedule makes late iterations data-consistency-dominant and
+    # the motion field converges early under coarse-to-fine, so freezing
+    # the tail trades no measured quality (bench table) for a ~2-3x
+    # cheaper tail iteration.  Requires motion_disp_px <=
+    # motion_freeze_tile_px - 1 and H, W divisible by the tile.
+    motion_freeze_iters: int = 0
+    motion_freeze_tile_px: int = 32
 
 
 @dataclasses.dataclass(frozen=True)

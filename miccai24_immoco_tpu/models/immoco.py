@@ -148,22 +148,14 @@ class IMMoCoModel:
         pair = self.image_inr.apply(params["image"], statics["image"])
         return jax.lax.complex(pair[..., 0], pair[..., 1])
 
-    def forward(self, params, masks: jnp.ndarray, statics, with_motion=False):
-        """masks: (max_movements, H, W) float32, zero-padded group masks.
+    def sample_grids(self, params, masks, statics, with_motion=False):
+        """Motion half of :meth:`forward`: the per-movement sampling grids.
 
-        Returns (kspace_out, image) exactly as immoco.py:82-113.  With the
-        static flag ``with_motion`` additionally returns a motion-stats dict
-        computed on the displacement lattice (before any motion_res_factor
-        upsample — the upsample is a linear interp, so lattice statistics
-        track the full field):
-
-          "l2":      mean over real movement groups (mask row non-empty) of
-                     the squared normalized displacement — the
-                     cfg.lambda_motion penalty term;
-          "px_mean": (max_movements,) per-group mean |displacement| in
-                     pixels — the cfg.dc_motion_gate_px gate input.
-        """
-        image = self.predict_image(params, statics)
+        Returns ``(grids, gx, gy, mot)`` — channel-last grids
+        (M, H, W, 2) with ``gx``/``gy`` None on the channel-last path, or
+        ``grids`` None with channel-first planes (M, H, W) on the cf path;
+        ``mot`` is the motion-stats dict (see forward) or None.  ``masks``
+        are only consumed by the stats weighting."""
 
         def motion_stats(dx, dy):
             # dx/dy: (M, mh, mw) normalized displacements; px via the FULL
@@ -228,6 +220,30 @@ class IMMoCoModel:
                 disp = jnp.einsum("mpqc,jq->mpjc", disp, uw)
                 disp = jnp.einsum("mpjc,ip->mijc", disp, uh)
             grids = disp + statics["id_grid"][None]
+        return grids, (None if grids is not None else gx), (
+            None if grids is not None else gy
+        ), mot
+
+    def forward(self, params, masks: jnp.ndarray, statics, with_motion=False):
+        """masks: (max_movements, H, W) float32, zero-padded group masks.
+
+        Returns (kspace_out, image) exactly as immoco.py:82-113.  With the
+        static flag ``with_motion`` additionally returns a motion-stats dict
+        computed on the displacement lattice (before any motion_res_factor
+        upsample — the upsample is a linear interp, so lattice statistics
+        track the full field):
+
+          "l2":      mean over real movement groups (mask row non-empty) of
+                     the squared normalized displacement — the
+                     cfg.lambda_motion penalty term;
+          "px_mean": (max_movements,) per-group mean |displacement| in
+                     pixels — the cfg.dc_motion_gate_px gate input.
+        """
+        image = self.predict_image(params, statics)
+        grids, gx, gy, mot = self.sample_grids(
+            params, masks, statics, with_motion=with_motion
+        )
+        cf = grids is None
 
         def _grids_cl():
             # Channel-last grids for warp impls without a planes entry.
@@ -292,6 +308,14 @@ class IMMoCoModel:
                 align_corners=False,
             )[:, 0]  # (M, H, W) complex
 
+        k_out = self.compose_kspace(image, motion_images, masks, statics)
+        if with_motion:
+            return k_out, image, mot
+        return k_out, image
+
+    def compose_kspace(self, image, motion_images, masks, statics):
+        """Mask-composed k-space operator (immoco.py:109-111):
+        FFT(image)·(1−Σmasks) + Σ FFT(motion_images)·masks."""
         if self.cfg.kspace_op == "dft_mm":
             # Centered DFT as MXU matmuls (ops/dft.py): XLA's TPU FFT is the
             # slower lowering for these shapes, and the matmul autodiff keeps
@@ -301,9 +325,37 @@ class IMMoCoModel:
             kfn = fft2c
         dc_term = kfn(image) * (1.0 - masks.sum(0))
         mov_term = (kfn(motion_images) * masks).sum(0)
-        if with_motion:
-            return dc_term + mov_term, image, mot
-        return dc_term + mov_term, image
+        return dc_term + mov_term
+
+    def frozen_warp_weights(self, params, masks, statics):
+        """Precompute tiled warp weights from the CURRENT motion params
+        (cfg.motion_freeze_iters — see ops/warp_mm.bilinear_weights_tiled);
+        gradients are cut so the frozen phase treats them as constants."""
+        from miccai24_immoco_tpu.ops.warp_mm import bilinear_weights_tiled
+
+        grids, gx, gy, _ = self.sample_grids(params, masks, statics)
+        if grids is None:
+            grids = jnp.stack([gx, gy], axis=-1)
+        dtype = (
+            jnp.bfloat16 if self.cfg.compute_dtype == "bfloat16"
+            else jnp.float32
+        )
+        return bilinear_weights_tiled(
+            jax.lax.stop_gradient(grids), self.height, self.width,
+            tile_px=self.cfg.motion_freeze_tile_px, align_corners=False,
+            compute_dtype=dtype,
+        )
+
+    def forward_frozen(self, params_image, warp_wts, masks, statics):
+        """Forward model with FROZEN motion: precomputed warp weights stand
+        in for the Motion INR + hat-weight build (pure-MXU applies both
+        directions).  Takes only the Image INR's params; returns
+        (kspace_out, image) like :meth:`forward`."""
+        from miccai24_immoco_tpu.ops.warp_mm import bilinear_apply_tiled
+
+        image = self.predict_image({"image": params_image}, statics)
+        motion_images = bilinear_apply_tiled(image, warp_wts)
+        return self.compose_kspace(image, motion_images, masks, statics), image
 
 
 def _upsample_matrix(n: int, m: int) -> jnp.ndarray:
@@ -391,14 +443,20 @@ def _scale_coarse_sched(sched: np.ndarray, lam_scale: float) -> np.ndarray:
 
 def phase_spans(cfg: InstanceFitConfig):
     """[(start, end, phase_idx)] iteration spans of a (possibly c2f) fit:
-    one span per coarse_phases(cfg) entry (phase_idx = its index) followed
-    by the full-resolution remainder (phase_idx = -1)."""
+    one span per coarse_phases(cfg) entry (phase_idx = its index), the
+    full-resolution joint remainder (phase_idx = -1), then the trailing
+    motion-frozen span (phase_idx = -2) when cfg.motion_freeze_iters > 0."""
     spans, s = [], 0
     for i, (it, _sz) in enumerate(coarse_phases(cfg)):
         spans.append((s, s + it, i))
         s += it
     if s < cfg.iters:
-        spans.append((s, cfg.iters, -1))
+        fz = min(max(int(cfg.motion_freeze_iters), 0), cfg.iters - s)
+        joint_end = cfg.iters - fz
+        if joint_end > s:
+            spans.append((s, joint_end, -1))
+        if fz:
+            spans.append((joint_end, cfg.iters, -2))
     return spans
 
 
@@ -577,6 +635,45 @@ def make_instance_fit(
 
             return step
 
+        def make_frozen_step(wts):
+            # Motion-frozen tail (cfg.motion_freeze_iters): Image INR only,
+            # warp applied via the precomputed tiled weights.  The
+            # lambda_motion term is constant here (motion fixed) so it is
+            # omitted — its gradient is zero either way.
+            def loss_fn(p_img, lam):
+                k_out, image = model.forward_frozen(p_img, wts, masks, statics)
+                return real_pair_mse(k_out, k_in) + lam * gradient_entropy(
+                    image
+                )
+
+            zeros_like = lambda t: jax.tree_util.tree_map(jnp.zeros_like, t)
+
+            def step(carry, x):
+                if use_ema:
+                    p, s, e = carry
+                    lam, beta = x[0], x[1]
+                else:
+                    p, s = carry
+                    lam = x
+                loss, g_img = jax.value_and_grad(loss_fn)(p["image"], lam)
+                grads = {"image": g_img, "motion": zeros_like(p["motion"])}
+                updates, s = opt.update(grads, s)
+                # Adam moments for motion keep decaying on zero grads; zero
+                # the motion update so the params are EXACTLY frozen.
+                updates = {
+                    "image": updates["image"],
+                    "motion": zeros_like(updates["motion"]),
+                }
+                p = cp(optax.apply_updates(p, updates))
+                if use_ema:
+                    e = jax.tree_util.tree_map(
+                        lambda a, b: beta * a + (1.0 - beta) * b, e, p
+                    )
+                    return (p, s, e), loss
+                return (p, s), loss
+
+            return step
+
         carry = (params, opt_state, params) if use_ema else (params, opt_state)
         loss_segs = []
         for pi, sched_p in phase_scheds:
@@ -586,6 +683,11 @@ def make_instance_fit(
                 cmod = model.coarse_levels[pi]
                 k_p, m_p = _coarse_crop(model, cmod, k_in, masks)
                 step = make_step(cmod, k_p, m_p, statics[f"coarse{pi}"])
+            elif pi == -2:
+                # Weights built once from the phase-entry motion params —
+                # hoisted out of the scan by construction.
+                wts = model.frozen_warp_weights(carry[0], masks, statics)
+                step = make_frozen_step(wts)
             else:
                 step = make_step(model, k_in, masks, statics)
             carry, l_p = jax.lax.scan(step, carry, sched_p)
@@ -716,7 +818,10 @@ def make_segmented_fit(model: IMMoCoModel, segment_len: int = 25):
         return state, opt.init(params), k_in, scale
 
     def _make_segment(phase: int):
-        # phase: coarse_levels index, or -1 for the full-resolution phase.
+        # phase: coarse_levels index, -1 for the full-resolution joint
+        # phase, or -2 for the trailing motion-frozen phase.
+        if phase == -2:
+            return _make_frozen_segment()
         fwd_model = model.coarse_levels[phase] if phase >= 0 else model
 
         @jax.jit
@@ -767,10 +872,71 @@ def make_segmented_fit(model: IMMoCoModel, segment_len: int = 25):
 
         return segment_fn
 
+    def _make_frozen_segment():
+        # Motion-frozen tail segment (cfg.motion_freeze_iters): the warp
+        # weights are built ONCE per segment from the (constant) motion
+        # params — outside the scan, so the hat-weight VPU cost is paid per
+        # segment, not per iteration — and each iteration optimizes the
+        # Image INR alone through pure-MXU weight applies.  Bit-identical
+        # to make_instance_fit's frozen phase: the motion params never
+        # change, so per-segment weight rebuilds yield identical weights.
+        zeros_like = lambda t: jax.tree_util.tree_map(jnp.zeros_like, t)
+
+        @jax.jit
+        def frozen_segment_fn(params, opt_state, k_in, masks, sched_seg,
+                              statics):
+            p0 = params["p"] if use_ema else params
+            wts = model.frozen_warp_weights(p0, masks, statics)
+
+            def loss_fn(p_img, lam):
+                k_out, image = model.forward_frozen(p_img, wts, masks,
+                                                    statics)
+                return real_pair_mse(k_out, k_in) + lam * gradient_entropy(
+                    image
+                )
+
+            def step(carry, x):
+                if use_ema:
+                    p, s, e = carry
+                    lam, beta = x[0], x[1]
+                else:
+                    p, s = carry
+                    lam = x
+                loss, g_img = jax.value_and_grad(loss_fn)(p["image"], lam)
+                grads = {"image": g_img, "motion": zeros_like(p["motion"])}
+                updates, s = opt.update(grads, s)
+                updates = {
+                    "image": updates["image"],
+                    "motion": zeros_like(updates["motion"]),
+                }
+                p = optax.apply_updates(p, updates)
+                if use_ema:
+                    e = jax.tree_util.tree_map(
+                        lambda a, b: beta * a + (1.0 - beta) * b, e, p
+                    )
+                    return (p, s, e), loss
+                return (p, s), loss
+
+            carry0 = ((params["p"], opt_state, params["e"]) if use_ema
+                      else (params, opt_state))
+            carry, losses = jax.lax.scan(step, carry0, sched_seg)
+            state = ({"p": carry[0], "e": carry[2]} if use_ema else carry[0])
+            return state, carry[1], losses
+
+        return frozen_segment_fn
+
     segment_fn = _make_segment(-1)
+    frozen_segment_fn = (
+        _make_segment(-2) if cfg.motion_freeze_iters > 0 else None
+    )
     phase_segment_fns = tuple(
         _make_segment(pi) for pi in range(len(model.coarse_levels))
     )
+
+    def _phase_fn(phase: int):
+        if phase >= 0:
+            return phase_segment_fns[phase]
+        return frozen_segment_fn if phase == -2 else segment_fn
 
     @jax.jit
     def finalize_fn(params, k_in, masks, scale, statics):
@@ -797,7 +963,7 @@ def make_segmented_fit(model: IMMoCoModel, segment_len: int = 25):
             seg = lambdas[s:e]
             if phase >= 0:
                 seg = _scale_coarse_sched(seg, lam_scales[phase])
-            fn = phase_segment_fns[phase] if phase >= 0 else segment_fn
+            fn = _phase_fn(phase)
             params, opt_state, l = fn(
                 params, opt_state, k_in, masks, jnp.asarray(seg), statics
             )
@@ -811,6 +977,8 @@ def make_segmented_fit(model: IMMoCoModel, segment_len: int = 25):
 
     run.init_fn = init_fn
     run.segment_fn = segment_fn
+    run.frozen_segment_fn = frozen_segment_fn
+    run.phase_fn = _phase_fn
     run.phase_segment_fns = phase_segment_fns
     # Single-level back-compat alias (first coarse phase, or None).
     run.coarse_segment_fn = phase_segment_fns[0] if phase_segment_fns else None

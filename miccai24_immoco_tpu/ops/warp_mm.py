@@ -453,3 +453,136 @@ def bilinear_sample_mm(
     if jnp.iscomplexobj(image):
         return jax.lax.complex(out[..., 0], out[..., 1])
     return out[..., 0]
+
+
+# --- Frozen-grid warping: precomputed hat weights, apply-only per step ----
+#
+# In the trailing motion-frozen phase of the instance fit
+# (InstanceFitConfig.motion_freeze_iters) the sampling grids are constant
+# across iterations, so the hat-weight one-hots — whose construction is the
+# measured VPU floor of every build+apply warp variant (~18 us per
+# (movement, window) unit, PERFORMANCE.md) — can be built ONCE per segment
+# and stored in HBM; each iteration then runs pure MXU matmuls forward AND
+# backward (autodiff of matmuls against constant weights is transposed
+# matmuls; no weight rebuild anywhere).  Storage (bf16, tile 32, 320^2):
+# ~39 MB per movement — reading it back costs ~50 us/movement at HBM rate,
+# ~30x cheaper than rebuilding.
+
+
+def bilinear_weights_tiled(
+    grids: jnp.ndarray,
+    h: int,
+    w: int,
+    tile_px: int,
+    align_corners: bool = False,
+    compute_dtype=jnp.bfloat16,
+):
+    """Precompute 2-D tiled interpolation weights for FIXED sampling grids.
+
+    grids: (M, Ho, Wo, 2) normalized sampling grids (grid_sample
+    convention, zeros padding, ``align_corners``).  Returns a dict
+    consumed by :func:`bilinear_apply_tiled`; exactness requires the same
+    displacement bound as the tiled warp (|disp| <= tile_px - 1 on both
+    axes) and Ho % tile_px == Wo % tile_px == 0, h, w >= 3 * tile_px.
+
+    The weights carry no gradient: callers hold the grids fixed
+    (stop_gradient upstream if needed).
+    """
+    m, ho, wo, _ = grids.shape
+    b = tile_px
+    if ho % b or wo % b:
+        raise ValueError(f"({ho},{wo}) not divisible by tile_px={b}")
+    if h < 3 * b or w < 3 * b:
+        raise ValueError(f"image smaller than 3*tile_px={3*b}")
+    ny, nx = ho // b, wo // b
+    n = b * b
+    sys_ = [min(max(iy * b - b, 0), h - 3 * b) for iy in range(ny)]
+    sxs_ = [min(max(ix * b - b, 0), w - 3 * b) for ix in range(nx)]
+
+    def unnormalize(coord, size):
+        if align_corners:
+            return (coord + 1.0) * 0.5 * (size - 1)
+        return ((coord + 1.0) * size - 1.0) * 0.5
+
+    sy_t = jnp.asarray([float(sy) for sy in sys_ for _ in sxs_], jnp.float32)
+    sx_t = jnp.asarray([float(sx) for _ in sys_ for sx in sxs_], jnp.float32)
+
+    def weights_one(grid):  # (Ho, Wo, 2) -> (T, n, win) pair
+        gt = (
+            grid.reshape(ny, b, nx, b, 2)
+            .transpose(0, 2, 1, 3, 4)
+            .reshape(ny * nx, n, 2)
+        )
+        gx = unnormalize(gt[..., 0], w) - sx_t[:, None]
+        gy = unnormalize(gt[..., 1], h) - sy_t[:, None]
+        ay = _one_hot_lerp_batched(gy, 3 * b, compute_dtype)
+        ax = _one_hot_lerp_batched(gx, 3 * b, compute_dtype)
+        return ay, ax
+
+    ay, ax = jax.lax.map(weights_one, grids)  # (M, T, n, win) each
+    return {
+        "ay": ay,
+        "ax": ax,
+        "tile_px": b,
+        "h": h,
+        "w": w,
+        "ho": ho,
+        "wo": wo,
+        "sys": tuple(sys_),
+        "sxs": tuple(sxs_),
+    }
+
+
+def bilinear_apply_tiled(image: jnp.ndarray, wts) -> jnp.ndarray:
+    """Warp one (h, w) complex/real image with precomputed tiled weights.
+
+    Bit-identical to ``bilinear_sample_mm(image, grids, tile_px=...)`` for
+    the grids the weights were built from (same matmul order and dtypes);
+    golden-tested in tests/test_warp_mm.py.  Differentiable w.r.t. image
+    only (weights are constants) — the backward is the transposed matmul
+    pair, still gather/scatter-free.
+    """
+    b = wts["tile_px"]
+    h, w, ho, wo = wts["h"], wts["w"], wts["ho"], wts["wo"]
+    ny, nx = ho // b, wo // b
+    n = b * b
+    win = 3 * b
+    compute_dtype = wts["ay"].dtype
+    if jnp.iscomplexobj(image):
+        planes = jnp.stack([image.real, image.imag], axis=-1)
+    else:
+        planes = image[..., None]
+    planes_c = planes.astype(compute_dtype)
+    c = planes_c.shape[-1]
+    windows = jnp.stack(
+        [
+            planes_c[sy : sy + win, sx : sx + win]
+            for sy in wts["sys"]
+            for sx in wts["sxs"]
+        ]
+    ).reshape(ny * nx, win, win * c)  # (T, win, win*C)
+
+    def apply_one(w_pair):  # ((T, n, win), (T, n, win)) -> (Ho, Wo, C)
+        ay, ax = w_pair
+        rows = jax.lax.dot_general(
+            ay,
+            windows,
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ).reshape(ny * nx, n, win, c)
+        out = jnp.einsum(
+            "tnwc,tnw->tnc",
+            rows.astype(compute_dtype),
+            ax,
+            preferred_element_type=jnp.float32,
+        )
+        return (
+            out.reshape(ny, nx, b, b, c)
+            .transpose(0, 2, 1, 3, 4)
+            .reshape(ho, wo, c)
+        )
+
+    out = jax.lax.map(apply_one, (wts["ay"], wts["ax"]))  # (M, Ho, Wo, C)
+    if jnp.iscomplexobj(image):
+        return jax.lax.complex(out[..., 0], out[..., 1])
+    return out[..., 0]

@@ -157,6 +157,13 @@ def make_batched_segmented_fit(
         jax.jit(jax.vmap(fn, in_axes=(0, 0, 0, 0, None, None)))
         for fn in single.phase_segment_fns
     )
+    vseg_frozen = (
+        jax.jit(
+            jax.vmap(single.frozen_segment_fn, in_axes=(0, 0, 0, 0, None, None))
+        )
+        if single.frozen_segment_fn is not None
+        else None
+    )
     vfin = jax.jit(jax.vmap(single.finalize_fn, in_axes=(0, 0, 0, 0, None)))
     lam_scales = tuple(
         _coarse_lambda_scale(model, cm) for cm in model.coarse_levels
@@ -170,7 +177,8 @@ def make_batched_segmented_fit(
             seg = lambdas[s:e]
             if phase >= 0:
                 seg = _scale_coarse_sched(seg, lam_scales[phase])
-            fn = vseg_phase[phase] if phase >= 0 else vseg
+            fn = (vseg_phase[phase] if phase >= 0
+                  else (vseg_frozen if phase == -2 else vseg))
             params, opt_state, l = fn(
                 params, opt_state, k_in, masks, jnp.asarray(seg), statics
             )

@@ -309,3 +309,44 @@ def test_unrolled_matches_map(rng):
                            unroll=True)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_frozen_weights_apply_matches_tiled(rng):
+    """bilinear_weights_tiled + bilinear_apply_tiled == the fused tiled warp
+    (same matmul order/dtypes), values AND image-gradients."""
+    from miccai24_immoco_tpu.ops.warp_mm import (
+        bilinear_apply_tiled,
+        bilinear_weights_tiled,
+    )
+
+    h = w = 64
+    img = (rng.standard_normal((h, w)) + 1j * rng.standard_normal((h, w))).astype(
+        np.complex64
+    )
+    disp = 10.0 / (w / 2.0) * jnp.tanh(
+        jnp.asarray(rng.standard_normal((2, h, w, 2)).astype(np.float32))
+    )
+    idg = identity_grid((h, w), align_corners=True)
+    grids = disp + idg[None]
+    fused = bilinear_sample_mm(jnp.asarray(img), grids,
+                               compute_dtype=jnp.float32, tile_px=16)
+    wts = bilinear_weights_tiled(grids, h, w, tile_px=16,
+                                 compute_dtype=jnp.float32)
+    applied = bilinear_apply_tiled(jnp.asarray(img), wts)
+    np.testing.assert_array_equal(np.asarray(applied), np.asarray(fused))
+
+    # Image gradient: transpose matmuls of the cached weights must equal the
+    # fused warp's image gradient (grids held fixed).
+    def loss_fused(im):
+        return jnp.sum(jnp.abs(
+            bilinear_sample_mm(im, grids, compute_dtype=jnp.float32,
+                               tile_px=16)
+        ) ** 2)
+
+    def loss_applied(im):
+        return jnp.sum(jnp.abs(bilinear_apply_tiled(im, wts)) ** 2)
+
+    g_fused = jax.grad(loss_fused)(jnp.asarray(img))
+    g_applied = jax.grad(loss_applied)(jnp.asarray(img))
+    np.testing.assert_allclose(np.asarray(g_applied), np.asarray(g_fused),
+                               rtol=1e-5, atol=1e-6)
