@@ -117,8 +117,12 @@ def main():
         motion_res_factor=int(os.environ.get("BENCH_MOTRES", "4")),
         # Trailing motion-frozen iterations (BENCH_FREEZE=K): the last K
         # full-res iterations hold the Motion INR fixed and run the warp as
-        # precomputed-weight MXU applies (config.py motion_freeze_iters).
-        motion_freeze_iters=int(os.environ.get("BENCH_FREEZE", "0")),
+        # precomputed-weight apply-only Pallas kernels (config.py
+        # motion_freeze_iters; 28.8 vs 51.4 ms/iter measured).  Default 60:
+        # light 1.79 s/slice at ssim parity (0.9884/34.88 vs the freeze-0
+        # 0.9885/35.20); heavy (FITMOV=18, C2F=50) prefers BENCH_FREEZE=50
+        # -> 3.64 s/slice at 0.9684/31.58 (quality-par with freeze 0).
+        motion_freeze_iters=int(os.environ.get("BENCH_FREEZE", "60")),
         # Coarse-to-fine: BENCH_C2F iterations against the center-cropped
         # k-space on a BENCH_CSIZE^2 raster first (0 = off), or a
         # '+'-separated pyramid (config.py coarse_schedule).  Default

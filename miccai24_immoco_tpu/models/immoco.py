@@ -329,11 +329,27 @@ class IMMoCoModel:
 
     def frozen_warp_weights(self, params, masks, statics):
         """Precompute tiled warp weights from the CURRENT motion params
-        (cfg.motion_freeze_iters — see ops/warp_mm.bilinear_weights_tiled);
-        gradients are cut so the frozen phase treats them as constants."""
+        (cfg.motion_freeze_iters); gradients are cut so the frozen phase
+        treats them as constants.  warp_impl='pallas_tiled' uses the
+        apply-only Pallas kernel geometry (warp_tiled_frozen_weights, tile
+        = warp_pallas_tile_px — bit-identical to the fused kernel);
+        everything else uses the XLA tiled weights
+        (ops/warp_mm.bilinear_weights_tiled, tile = motion_freeze_tile_px)."""
+        grids, gx, gy, _ = self.sample_grids(params, masks, statics)
+        if self.cfg.warp_impl == "pallas_tiled":
+            from miccai24_immoco_tpu.ops.warp_tiled_pallas import (
+                warp_tiled_frozen_weights,
+            )
+
+            if grids is not None:
+                gx, gy = grids[..., 0], grids[..., 1]
+            return warp_tiled_frozen_weights(
+                jax.lax.stop_gradient(gy), jax.lax.stop_gradient(gx),
+                self.height, self.width,
+                tile_px=self.cfg.warp_pallas_tile_px, align_corners=False,
+            )
         from miccai24_immoco_tpu.ops.warp_mm import bilinear_weights_tiled
 
-        grids, gx, gy, _ = self.sample_grids(params, masks, statics)
         if grids is None:
             grids = jnp.stack([gx, gy], axis=-1)
         dtype = (
@@ -351,10 +367,17 @@ class IMMoCoModel:
         in for the Motion INR + hat-weight build (pure-MXU applies both
         directions).  Takes only the Image INR's params; returns
         (kspace_out, image) like :meth:`forward`."""
-        from miccai24_immoco_tpu.ops.warp_mm import bilinear_apply_tiled
-
         image = self.predict_image({"image": params_image}, statics)
-        motion_images = bilinear_apply_tiled(image, warp_wts)
+        if self.cfg.warp_impl == "pallas_tiled":
+            from miccai24_immoco_tpu.ops.warp_tiled_pallas import (
+                warp_tiled_frozen_apply,
+            )
+
+            motion_images = warp_tiled_frozen_apply(image, warp_wts)
+        else:
+            from miccai24_immoco_tpu.ops.warp_mm import bilinear_apply_tiled
+
+            motion_images = bilinear_apply_tiled(image, warp_wts)
         return self.compose_kspace(image, motion_images, masks, statics), image
 
 

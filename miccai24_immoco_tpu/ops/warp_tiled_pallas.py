@@ -364,3 +364,202 @@ def bilinear_sample_tiled_pallas_planes(
     if jnp.iscomplexobj(image):
         return jax.lax.complex(out[..., 0], out[..., 1])
     return out[..., 0]
+
+
+# --- Apply-only kernels for FROZEN grids (cfg.motion_freeze_iters) --------
+#
+# In the motion-frozen fit phase the sampling grids are segment-constant, so
+# the hat rows — the ~18 us/(movement, window) VPU floor of the fused
+# kernels above — can be built ONCE per segment in plain XLA
+# (warp_tiled_frozen_weights) and streamed into apply-only kernels as
+# operands.  The forward keeps the fused kernel's matmul structure minus
+# both _hat calls; the backward needs only the window gradient (weights are
+# constants: no _hat_d, no dgy/dgx, no coordinate-gradient matmuls).
+# Results are bit-identical to the fused kernels for the same grids (the
+# hats are built with the same f32 expression and bf16 cast).
+# Cost shifts from VPU elementwise to HBM weight reads: ay+ax are
+# ~2 MB/(movement, window) bf16 — ~2.5 us at HBM rate vs ~18 us rebuilt.
+
+
+def _apply_fwd_kernel(ay_ref, ax_ref, win_ref, out_ref, *, c):
+    ay = ay_ref[0, 0]  # (n, win) bf16
+    ax = ax_ref[0, 0]
+    for ci in range(c):
+        rows = jax.lax.dot_general(
+            ay,
+            win_ref[0, ci],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(jnp.bfloat16)  # (n, win)
+        out_ref[0, 0, ci, :] = jnp.sum(rows * ax, axis=1, dtype=jnp.float32)
+
+
+def _apply_bwd_kernel(first_ref, ay_ref, ax_ref, dout_ref, dwin_ref, *, c):
+    # Same VMEM window-gradient accumulation as _bwd_kernel (movement axis
+    # innermost, dwin index_map ignores it, first-visit select), with the
+    # weight-construction and coordinate-gradient work deleted.
+    ay = ay_ref[0, 0]
+    ax = ax_ref[0, 0]
+    first = first_ref[0, 0, 0] > 0.5
+    for ci in range(c):
+        do = dout_ref[0, 0, ci, :]  # (n,) f32
+        t = (ax * do[:, None].astype(jnp.float32)).astype(jnp.bfloat16)
+        contrib = jax.lax.dot_general(
+            ay, t, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (win, win)
+        prev = jnp.where(first, jnp.zeros_like(contrib), dwin_ref[0, ci])
+        dwin_ref[0, ci] = prev + contrib
+
+
+def warp_tiled_frozen_weights(
+    gy_n: jnp.ndarray,
+    gx_n: jnp.ndarray,
+    h: int,
+    w: int,
+    tile_px: int = 64,
+    align_corners: bool = False,
+):
+    """Precompute hat-weight rows for FIXED normalized sampling planes.
+
+    gy_n/gx_n: (M, Ho, Wo) normalized coords (the model's channel-first
+    grids).  Returns {"ay", "ax"}: (K, M, n, win) bf16 hat rows in the
+    fused kernels' window geometry (win = 2*tile, same _window_starts), so
+    warp_tiled_frozen_apply reproduces bilinear_sample_tiled_pallas_planes
+    exactly.  Built in plain XLA — a once-per-segment cost."""
+    m, ho, wo = gy_n.shape
+    b = tile_px
+    win = 2 * b
+    ny, nx = ho // b, wo // b
+
+    def unnormalize(coord, size):
+        if align_corners:
+            return (coord + 1.0) * 0.5 * (size - 1)
+        return ((coord + 1.0) * size - 1.0) * 0.5
+
+    sys_ = _window_starts(h, ny, b, win)
+    sxs_ = _window_starts(w, nx, b, win)
+    sy_t = jnp.asarray([float(sy) for sy in sys_ for _ in sxs_], jnp.float32)
+    sx_t = jnp.asarray([float(sx) for _ in sys_ for sx in sxs_], jnp.float32)
+    gyl = (
+        _tile_coords(unnormalize(gy_n, h), ny, nx, b)
+        - sy_t[:, None, None, None]
+    )[:, :, 0]  # (K, M, n)
+    gxl = (
+        _tile_coords(unnormalize(gx_n, w), ny, nx, b)
+        - sx_t[:, None, None, None]
+    )[:, :, 0]
+
+    def hat(pos):  # (K, M, n) -> (K, M, n, win)
+        idx = jax.lax.broadcasted_iota(
+            jnp.int32, (*pos.shape, win), pos.ndim
+        ).astype(jnp.float32)
+        return jnp.maximum(0.0, 1.0 - jnp.abs(idx - pos[..., None])).astype(
+            jnp.bfloat16
+        )
+
+    return {"ay": hat(gyl), "ax": hat(gxl), "tile_px": b, "h": h, "w": w,
+            "ho": ho, "wo": wo}
+
+
+@jax.custom_vjp
+def _apply_windows(windows, ay, ax):
+    """(K, C, win, win) windows x (K, M, n, win) weights -> (K, M, C, n).
+
+    custom_vjp only at the kernel pair: the window stacking / untiling
+    around it are plain slices/transposes whose autodiff (sum-of-pads /
+    transpose) is already gather/scatter-free."""
+    out, _ = _apply_windows_fwd(windows, ay, ax)
+    return out
+
+
+def _apply_windows_fwd(windows, ay, ax):
+    k, m, n, win = ay.shape
+    c = windows.shape[1]
+    out = pl.pallas_call(
+        functools.partial(_apply_fwd_kernel, c=c),
+        grid=(k, m),
+        in_specs=[
+            pl.BlockSpec((1, 1, n, win), lambda i, j: (i, j, 0, 0)),
+            pl.BlockSpec((1, 1, n, win), lambda i, j: (i, j, 0, 0)),
+            pl.BlockSpec((1, c, win, win), lambda i, j: (i, 0, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, 1, c, n), lambda i, j: (i, j, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((k, m, c, n), jnp.float32),
+        interpret=_interpret_default(),
+    )(ay, ax, windows.astype(jnp.bfloat16))
+    return out, (ay, ax, windows.shape)
+
+
+def _apply_windows_bwd(res, d_out):
+    ay, ax, win_shape = res
+    k, m, n, win = ay.shape
+    c = win_shape[1]
+    first = jnp.zeros((m, 1, n), jnp.float32).at[0].set(1.0)
+    d_win = pl.pallas_call(
+        functools.partial(_apply_bwd_kernel, c=c),
+        grid=(k, m),
+        in_specs=[
+            pl.BlockSpec((1, 1, n), lambda i, j: (j, 0, 0)),
+            pl.BlockSpec((1, 1, n, win), lambda i, j: (i, j, 0, 0)),
+            pl.BlockSpec((1, 1, n, win), lambda i, j: (i, j, 0, 0)),
+            pl.BlockSpec((1, 1, c, n), lambda i, j: (i, j, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, c, win, win), lambda i, j: (i, 0, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((k, c, win, win), jnp.float32),
+        interpret=_interpret_default(),
+    )(first, ay, ax, d_out.astype(jnp.float32))
+    # Same VMEM-promotion guard as _warp_tiled_bwd.
+    d_win = jax.lax.optimization_barrier(d_win)
+    # Weight cotangents are structurally zero (frozen grids); broadcasted
+    # zeros cost nothing materialized.  d_win stays f32 (the windows arg is
+    # f32 at this boundary — the bf16 cast lives inside the fwd — so the
+    # overlap summation in the caller's slice autodiff runs in f32, exactly
+    # like the fused kernel's manual un-slicing).
+    return (
+        d_win,
+        jnp.zeros_like(ay),
+        jnp.zeros_like(ax),
+    )
+
+
+_apply_windows.defvjp(_apply_windows_fwd, _apply_windows_bwd)
+
+
+def _stack_windows(planes, sys_, sxs_, win):
+    # f32: the bf16 cast happens inside _apply_windows_fwd so the windows
+    # cotangent (and its overlap summation) stays f32.
+    return jnp.stack(
+        [
+            planes[:, sy : sy + win, sx : sx + win]
+            for sy in sys_
+            for sx in sxs_
+        ]
+    )  # (K, C, win, win)
+
+
+def warp_tiled_frozen_apply(image: jnp.ndarray, wts) -> jnp.ndarray:
+    """Warp one (H, W) complex/real image with warp_tiled_frozen_weights.
+
+    Bit-identical to bilinear_sample_tiled_pallas_planes for the planes the
+    weights were built from (same window geometry, hat expression, matmul
+    order/dtypes); differentiable w.r.t. the image only."""
+    b = wts["tile_px"]
+    h, w, ho, wo = wts["h"], wts["w"], wts["ho"], wts["wo"]
+    win = 2 * b
+    ny, nx = ho // b, wo // b
+    m = wts["ay"].shape[1]
+    if jnp.iscomplexobj(image):
+        planes = jnp.stack([image.real, image.imag], axis=0)
+    else:
+        planes = image[None]
+    c = planes.shape[0]
+    sys_ = _window_starts(h, ny, b, win)
+    sxs_ = _window_starts(w, nx, b, win)
+    windows = _stack_windows(planes, sys_, sxs_, win)
+    out = _untile(
+        _apply_windows(windows, wts["ay"], wts["ax"]), m, ny, nx, b, c
+    )
+    if jnp.iscomplexobj(image):
+        return jax.lax.complex(out[..., 0], out[..., 1])
+    return out[..., 0]

@@ -120,3 +120,36 @@ def test_vmap_batch(rng):
         ref = _gather_ref(imgs[b], grids[b])
         err = np.abs(np.asarray(out[b]) - np.asarray(ref)).max()
         assert err < 2e-2 * float(jnp.abs(imgs[b]).max()), err
+
+
+def test_frozen_apply_matches_fused_kernel(rng):
+    """warp_tiled_frozen_weights + warp_tiled_frozen_apply == the fused
+    tiled Pallas warp (same window geometry, hat expression, matmul
+    order/dtypes): forward bit-identical, image gradients matching."""
+    from miccai24_immoco_tpu.ops.warp_tiled_pallas import (
+        warp_tiled_frozen_apply,
+        warp_tiled_frozen_weights,
+    )
+
+    img, grids = _setup(rng, m=3)
+    fused = bilinear_sample_tiled_pallas(img, grids, tile_px=TILE)
+    wts = warp_tiled_frozen_weights(
+        grids[..., 1], grids[..., 0], H, W, tile_px=TILE
+    )
+    applied = warp_tiled_frozen_apply(img, wts)
+    np.testing.assert_array_equal(np.asarray(applied), np.asarray(fused))
+
+    def loss_fused(im):
+        return jnp.sum(
+            jnp.abs(bilinear_sample_tiled_pallas(im, grids, tile_px=TILE))
+            ** 2
+        )
+
+    def loss_applied(im):
+        return jnp.sum(jnp.abs(warp_tiled_frozen_apply(im, wts)) ** 2)
+
+    g_fused = jax.grad(loss_fused)(img)
+    g_applied = jax.grad(loss_applied)(img)
+    scale = float(jnp.abs(g_fused).max())
+    err = np.abs(np.asarray(g_applied) - np.asarray(g_fused)).max()
+    assert err < 2e-2 * scale, err
