@@ -84,6 +84,11 @@ def main():
             motion_res_factor=int(os.environ.get("E2E_MOTRES", "1")),
             ema_decay=float(os.environ.get("E2E_EMA", "0")),
             ema_start_frac=float(os.environ.get("E2E_EMA_START", "0.5")),
+            coarse_schedule=tuple(
+                tuple(int(v) for v in p.split("@"))
+                for p in os.environ.get("E2E_C2F", "").split("+") if p
+            ),
+            motion_freeze_iters=int(os.environ.get("E2E_FREEZE", "0")),
         )
         corpus = _synthetic_corpus(n, 320, scenario, seed=2024)
         import time as _time
@@ -113,6 +118,8 @@ def main():
                 "motion_res_factor": cfg.motion_res_factor,
                 "dc_replace": cfg.dc_replace,
                 "ema_decay": cfg.ema_decay,
+                "coarse_schedule": list(map(list, cfg.coarse_schedule)),
+                "motion_freeze_iters": cfg.motion_freeze_iters,
             },
         }
         per_scenario[scenario] = metrics
