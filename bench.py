@@ -156,8 +156,19 @@ def main():
     _sync(masks)
 
     model = build_immoco(cfg, size, size)
+    # BENCH_SEG=0: the whole multi-phase fit as ONE compiled program (one
+    # ~390 ms tunnel launch instead of one per phase/segment — the fixed
+    # per-execution cost, PERFORMANCE.md cost model).  Today's fits are only
+    # ~5-15 s of device time, far below the ~O(1 min) program-kill bound
+    # that originally forced segmentation.  BENCH_SEG=N keeps the segmented
+    # runner (one launch per <=N-iteration phase chunk).
     seg_len = int(os.environ.get("BENCH_SEG", "50"))
-    fit = make_batched_segmented_fit(model, segment_len=seg_len)
+    if seg_len == 0:
+        from miccai24_immoco_tpu.parallel.sharded_fit import make_batched_fit
+
+        fit = jax.jit(make_batched_fit(model))
+    else:
+        fit = make_batched_segmented_fit(model, segment_len=seg_len)
     keys = jax.random.split(jax.random.PRNGKey(1), batch)
 
     from miccai24_immoco_tpu.utils.hostio import readback, sync

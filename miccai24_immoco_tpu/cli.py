@@ -563,6 +563,7 @@ def cmd_train_afplus(args):
         steps=args.steps, inner_iters=args.inner_iters,
         rot_moment_detach=args.stability in ("rot_detach", "both"),
         inner_eps=1e-12 if args.stability in ("eps", "both") else 0.0,
+        sample_clip_norm=args.sample_clip,
     )
     init_fn, train_step, _ = make_afplus_trainer(net, cfg, image_shape=(h, w))
     log_fn = _make_log_fn(
@@ -848,6 +849,12 @@ def build_parser() -> argparse.ArgumentParser:
         choices=("ref", "rot_detach", "eps", "both"),
         help="bilevel NaN guard variant (train_afplus.AFPlusTrainConfig; "
         "'ref' = verbatim reference semantics)",
+    )
+    t.add_argument(
+        "--sample-clip", type=float, default=0.0,
+        help="per-sample global-norm clip BEFORE accumulation (0 = off; "
+        "bounds outlier bilevel gradients like the reference's running "
+        "clip_grad_norm_ after every backward)",
     )
     t.set_defaults(fn=cmd_train_afplus)
 

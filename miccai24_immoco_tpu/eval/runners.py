@@ -149,6 +149,7 @@ def run_immoco_batched(
     restart_select: str = "ge",
     return_diagnostics: bool = False,
     fallback_loss: Optional[float] = None,
+    fallback_disp_px: Optional[float] = None,
 ):
     """Batched variant of run_immoco: slices are fitted in vmapped batches
     (the production throughput mode; parallel/sharded_fit machinery).
@@ -191,6 +192,15 @@ def run_immoco_batched(
     account, failed to model the measured data; such slices report the
     corrupted (zero-motion) reconstruction instead.  Self-supervised — no
     ground truth involved; diagnostics mark them with "fallback": True.
+
+    ``fallback_disp_px``: displacement-anomaly fallback (deliberate
+    divergence, same do-no-harm contract as ``fallback_loss``).  Degenerate
+    motion fits converge to a basin with a large, near-uniform fitted
+    displacement on EVERY group (~7 px mean vs ~2 px for healthy fits —
+    PERFORMANCE.md failing-heavy attribution, scripts/probe_motion_disp.py);
+    slices whose post-fit mean |displacement| exceeds this threshold report
+    the corrupted reconstruction instead.  Self-supervised: the signal is
+    the fit's own motion field, no ground truth involved.
     """
     import dataclasses as _dc
 
@@ -282,11 +292,21 @@ def run_immoco_batched(
                     for i, s in batch_padded
                 ]
             )
-            result = run(ksp, masks, keys, model.statics)
+            want_diag = (
+                return_diagnostics
+                or fallback_loss is not None
+                or fallback_disp_px is not None
+            )
+            if want_diag:
+                result, fit_diag = run(
+                    ksp, masks, keys, model.statics, with_diag=True
+                )
+                mean_disp = np.asarray(fit_diag["mean_disp_px"])
+            else:
+                result = run(ksp, masks, keys, model.statics)
+                mean_disp = None
             final_losses = (
-                np.asarray(result.losses[:, -1])
-                if (return_diagnostics or fallback_loss is not None)
-                else None
+                np.asarray(result.losses[:, -1]) if want_diag else None
             )
             if restarts == 1:
                 ges = np.zeros(batch_size)
@@ -302,6 +322,7 @@ def run_immoco_batched(
                 if final_losses is not None:
                     diag_by_idx[i] = {
                         "final_loss": float(final_losses[j]),
+                        "mean_disp_px": float(mean_disp[j]),
                         "n_groups": slice_counts[i],
                         "bucket": size,
                         "corrupted_cols": float(
@@ -332,12 +353,18 @@ def run_immoco_batched(
                             jnp.abs(put_complex(gt_all[i]))
                         ),
                     }
-    if fallback_loss is not None:
+    if fallback_loss is not None or fallback_disp_px is not None:
         for i in range(n):
-            diag_by_idx[i]["fallback"] = False
-            if diag_by_idx[i]["final_loss"] <= fallback_loss:
+            trigger = (
+                fallback_loss is not None
+                and diag_by_idx[i]["final_loss"] > fallback_loss
+            ) or (
+                fallback_disp_px is not None
+                and diag_by_idx[i]["mean_disp_px"] > fallback_disp_px
+            )
+            diag_by_idx[i]["fallback"] = bool(trigger)
+            if not trigger:
                 continue
-            diag_by_idx[i]["fallback"] = True
             corrupted_img = ifft2c(put_complex(ks_all[i]))
             metrics_by_idx[i] = _metrics_dict(
                 corrupted_img, put_complex(gt_all[i])

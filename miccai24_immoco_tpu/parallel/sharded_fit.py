@@ -169,7 +169,23 @@ def make_batched_segmented_fit(
         _coarse_lambda_scale(model, cm) for cm in model.coarse_levels
     )
 
-    def run(kspaces, masks, keys, statics) -> FitResult:
+    @jax.jit
+    def vdisp(params, masks, statics):
+        """Per-slice mean fitted |displacement| in pixels, weighted over
+        real (non-empty-mask) movement groups — the self-supervised
+        degenerate-motion-basin signal (PERFORMANCE.md failing-heavy
+        attribution: degenerate fits show a uniform ~7 px mean field on
+        every group vs ~2 px for healthy fits)."""
+
+        def one(p, m):
+            p = p["p"] if isinstance(p, dict) and "p" in p else p
+            _, _, _, mot = model.sample_grids(p, m, statics, with_motion=True)
+            w = jnp.clip(m.sum(axis=(-2, -1)), 0.0, 1.0)
+            return (mot["px_mean"] * w).sum() / jnp.maximum(w.sum(), 1.0)
+
+        return jax.vmap(one)(params, masks)
+
+    def run(kspaces, masks, keys, statics, with_diag: bool = False):
         lambdas = fit_schedule(cfg)
         params, opt_state, k_in, scale = vinit(kspaces, keys, statics)
         losses = []
@@ -184,11 +200,14 @@ def make_batched_segmented_fit(
             )
             losses.append(l)
         image, k_fwd = vfin(params, k_in, masks, scale, statics)
-        return FitResult(
+        result = FitResult(
             image=image,
             kspace_forward=k_fwd,
             losses=jnp.concatenate(losses, axis=-1),
         )
+        if with_diag:
+            return result, {"mean_disp_px": vdisp(params, masks, statics)}
+        return result
 
     return run
 

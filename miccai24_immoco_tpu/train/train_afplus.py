@@ -47,6 +47,17 @@ class AFPlusTrainConfig:
     # verbatim reference semantics, which NaN on occasional draws).
     rot_moment_detach: bool = False
     inner_eps: float = 0.0
+    # Per-SAMPLE global-norm clip applied BEFORE gradient accumulation
+    # (0 = off).  The reference calls clip_grad_norm_(1.0) after EVERY
+    # sample's backward on the running .grad buffer
+    # (train_afplus_original.py:207-208), so no single sample's gradient
+    # can contribute more than unit norm to the accumulated update.  Our
+    # MultiSteps accumulator averages RAW grads and only clips the mean —
+    # one intermittent ~1e14-gnorm sample (the bilevel rot-chain blow-up,
+    # scripts/probe_afplus_nan.py) then dominates the update direction
+    # entirely, which matches the observed flat-loss runs.  sample_clip
+    # bounds each sample's influence like the reference's running clip.
+    sample_clip_norm: float = 0.0
 
 
 def afplus_inner_unrolled(
@@ -151,6 +162,11 @@ def make_afplus_trainer(
         # updates became no-ops: the round-2 run's loss was flat for 1270
         # steps = 79 wiped updates).
         optax.zero_nans(),
+        *(
+            [optax.clip_by_global_norm(cfg.sample_clip_norm)]
+            if cfg.sample_clip_norm > 0
+            else []
+        ),
         optax.MultiSteps(
             optax.chain(
                 optax.clip_by_global_norm(cfg.clip_norm),

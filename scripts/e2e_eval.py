@@ -97,10 +97,21 @@ def main():
         buckets = ([int(b) for b in buckets_env.split(",")]
                    if buckets_env else ([10] if scenario == "light" else [18]))
         t0 = _time.time()
-        metrics = run_immoco_batched(
+        extra = {}
+        if os.environ.get("E2E_FALLBACK_DISP"):
+            extra["fallback_disp_px"] = float(os.environ["E2E_FALLBACK_DISP"])
+        if os.environ.get("E2E_FALLBACK_LOSS"):
+            extra["fallback_loss"] = float(os.environ["E2E_FALLBACK_LOSS"])
+        if os.environ.get("E2E_RESTARTS"):
+            extra["restarts"] = int(os.environ["E2E_RESTARTS"])
+            extra["restart_select"] = os.environ.get("E2E_SELECT", "loss")
+        want_diag = bool(int(os.environ.get("E2E_DIAG", "0"))) or extra
+        out = run_immoco_batched(
             corpus, cfg, kld=kld, limit=n, batch_size=min(n, 4),
             segment_len=50, buckets=buckets,
+            return_diagnostics=want_diag, **extra,
         )
+        metrics, diags = out if want_diag else (out, None)
         wall = _time.time() - t0
         print(f"{scenario}: {wall:.1f}s wall for {n} slices "
               f"({wall/n:.2f} s/slice incl. detection+compile)", flush=True)
@@ -124,6 +135,15 @@ def main():
         }
         per_scenario[scenario] = metrics
         per_scenario_corrupt[scenario] = corruption_metrics(corpus, n)
+        if diags is not None:
+            meta["scenarios"][scenario]["fallback_knobs"] = {
+                k: v for k, v in extra.items()
+            }
+            import json as _json
+
+            os.makedirs("results/e2e", exist_ok=True)
+            with open(f"results/e2e/diags_{scenario}.json", "w") as f:
+                _json.dump(diags, f, indent=2)
         print(scenario, "corrected:", aggregate(metrics), flush=True)
         print(scenario, "corrupted:", aggregate(per_scenario_corrupt[scenario]),
               flush=True)

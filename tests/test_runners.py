@@ -192,6 +192,7 @@ def test_run_immoco_batched_diagnostics(corpus):
     assert len(diags) == len(metrics) == 2
     for d in diags:
         assert np.isfinite(d["final_loss"]) and d["final_loss"] >= 0
+        assert np.isfinite(d["mean_disp_px"]) and d["mean_disp_px"] >= 0
         assert d["n_groups"] == 2
         assert d["bucket"] == 4
         assert 0 < d["corrupted_cols"] < 32
@@ -234,6 +235,38 @@ def test_run_immoco_batched_fallback(corpus):
     assert all(d["fallback"] is True for d in d_forced)
     from miccai24_immoco_tpu.eval.runners import _metrics_dict
 
+    for i, m in enumerate(forced):
+        expect = _metrics_dict(
+            ifft2c(put_complex(corpus["kspace_motion"][i])),
+            put_complex(corpus["image_rss"][i]),
+        )
+        assert m["psnr"] == expect["psnr"] and m["ssim"] == expect["ssim"]
+
+
+def test_run_immoco_batched_fallback_disp(corpus):
+    """fallback_disp_px: threshold 0 forces the corrupted reconstruction on
+    every slice (every fit has nonzero mean displacement); a huge threshold
+    is a no-op.  The displacement-anomaly fallback targets the degenerate
+    motion basin of the failing heavy slices (PERFORMANCE.md)."""
+    from miccai24_immoco_tpu.eval.runners import _metrics_dict, run_immoco_batched
+    from miccai24_immoco_tpu.ops.fft import ifft2c
+    from miccai24_immoco_tpu.utils.hostio import put_complex
+
+    cfg = small_cfg("lattice", "lattice", iters=5, max_movements=4)
+    plain = run_immoco_batched(corpus, cfg, batch_size=2, segment_len=3)
+    noop, d_noop = run_immoco_batched(
+        corpus, cfg, batch_size=2, segment_len=3,
+        fallback_disp_px=float("inf"), return_diagnostics=True,
+    )
+    assert plain == noop
+    assert all(d["fallback"] is False for d in d_noop)
+
+    forced, d_forced = run_immoco_batched(
+        corpus, cfg, batch_size=2, segment_len=3, fallback_disp_px=0.0,
+        return_diagnostics=True,
+    )
+    assert all(d["fallback"] is True for d in d_forced)
+    assert all(d["mean_disp_px"] > 0 for d in d_forced)
     for i, m in enumerate(forced):
         expect = _metrics_dict(
             ifft2c(put_complex(corpus["kspace_motion"][i])),
