@@ -43,10 +43,20 @@ class AFPlusTrainConfig:
     # Chunked KB gridding (ops/nufft.py): peak-memory control for the
     # bilevel unroll; 0 = unchunked. 12800 = 8 chunks at 320^2.
     nufft_chunk: int = 12800
-    # Bilevel-stability knobs (see afplus_inner_unrolled; both off =
+    # Bilevel-stability knobs (see afplus_inner_unrolled; all off =
     # verbatim reference semantics, which NaN on occasional draws).
     rot_moment_detach: bool = False
     inner_eps: float = 0.0
+    # Detach the inner Adam's rsqrt preconditioner in the backward: the
+    # inner FORWARD update is bit-identical, but the outer gradient flows
+    # only through the linear first-moment path.  Every observed NaN source
+    # is a d/dg [rsqrt(m2)] = -g (1-b2) m2^{-3/2} factor (m2 floors at
+    # 1e-24 -> m2^{-3/2} ~ 1e36, overflowing f32 whenever a per-line inner
+    # gradient decays toward zero mid-chain — which partially trained
+    # metric nets routinely cause); dropping the preconditioner's
+    # derivative removes the m2 chain entirely while keeping the
+    # magnitude-bounded m1 chain that carries the learning signal.
+    precond_detach: bool = False
     # Per-SAMPLE global-norm clip applied BEFORE gradient accumulation
     # (0 = off).  The reference calls clip_grad_norm_(1.0) after EVERY
     # sample's backward on the running .grad buffer
@@ -69,6 +79,7 @@ def afplus_inner_unrolled(
     nufft_chunk: int = 0,
     rot_moment_detach: bool = False,
     inner_eps: float = 0.0,
+    precond_detach: bool = False,
 ):
     """Run `iters` AF+ Adam steps, differentiable end-to-end; returns the
     corrected k-space (the training variant without zero_middle)."""
@@ -122,9 +133,14 @@ def afplus_inner_unrolled(
             b1 * md(m[4]) + (1 - b1) * gr,
             b2 * md(m[5]) + (1 - b2) * gr * gr + 1e-24,
         )
-        xs = xs - cfg.learning_rate * m[0] * jax.lax.rsqrt(m[1] + inner_eps)
-        ys = ys - cfg.learning_rate * m[2] * jax.lax.rsqrt(m[3] + inner_eps)
-        rot = rot - cfg.learning_rate * m[4] * jax.lax.rsqrt(m[5] + inner_eps)
+        # precond_detach (AFPlusTrainConfig): same forward update, but the
+        # rsqrt(moment2) preconditioner is a constant to the outer backward
+        # (the rsqrt DERIVATIVE's m2^{-3/2} factor is the f32-overflow NaN
+        # source; the m1 path keeps the outer gradient's learning signal).
+        pd = jax.lax.stop_gradient if precond_detach else (lambda v: v)
+        xs = xs - cfg.learning_rate * m[0] * pd(jax.lax.rsqrt(m[1] + inner_eps))
+        ys = ys - cfg.learning_rate * m[2] * pd(jax.lax.rsqrt(m[3] + inner_eps))
+        rot = rot - cfg.learning_rate * m[4] * pd(jax.lax.rsqrt(m[5] + inner_eps))
         return xs, ys, rot, m
 
     def scan_body(carry, _):
@@ -206,6 +222,7 @@ def make_afplus_trainer(
                 nufft_chunk=cfg.nufft_chunk,
                 rot_moment_detach=cfg.rot_moment_detach,
                 inner_eps=cfg.inner_eps,
+                precond_detach=cfg.precond_detach,
             )
             out = jnp.abs(ifft2c(yp_ks))[None, None] * 1e4
             tgt = gt_img[None, None] * 1e4

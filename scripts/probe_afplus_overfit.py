@@ -20,7 +20,12 @@ sample_clip_norm.  If it stays flat even here, (a): the trainer needs a
 deeper diagnosis before burning device-hours.
 
 Usage: python scripts/probe_afplus_overfit.py [steps=150] [pool=4]
-          [size=320] [clip=1.0] [inner=30]
+          [size=320] [clip=1.0] [inner=30] [chans=32] [pools=6]
+          [variant=rot_detach: ref|rot_detach|eps|both|precond_detach]
+
+(chans/pools size the metric U-Net: the reference arch is 32/6 — 440 MB
+with opt state, machine-local only; 16/5 is the committed-distribution
+size used for denoiser_full, and a faster bilevel step.)
 """
 
 import json
@@ -54,18 +59,24 @@ def main():
     size = int(sys.argv[3]) if len(sys.argv) > 3 else 320
     clip = float(sys.argv[4]) if len(sys.argv) > 4 else 1.0
     inner = int(sys.argv[5]) if len(sys.argv) > 5 else 30
+    chans = int(sys.argv[6]) if len(sys.argv) > 6 else 32
+    pools = int(sys.argv[7]) if len(sys.argv) > 7 else 6
+    variant = sys.argv[8] if len(sys.argv) > 8 else "rot_detach"
 
     images = phantom_stack(pool, size, size, seed=3)
     kspace = jax.jit(fft2c)(images)
 
-    net = build_unet(UnetConfig(in_chans=1, out_chans=1, chans=32,
-                                num_pool_layers=6, norm="instance"))
+    net = build_unet(UnetConfig(in_chans=1, out_chans=1, chans=chans,
+                                num_pool_layers=pools, norm="instance"))
     # steps=20000 keeps the cosine schedule near-constant across the probe's
     # ~150 updates (the horizon is steps//accumulate); accumulate=1 makes
     # every sample an optimizer update so learning shows up immediately.
     cfg = AFPlusTrainConfig(
         steps=20000, inner_iters=inner, accumulate=1,
-        rot_moment_detach=True, sample_clip_norm=clip,
+        rot_moment_detach=variant in ("rot_detach", "both"),
+        inner_eps=1e-12 if variant in ("eps", "both") else 0.0,
+        precond_detach=variant == "precond_detach",
+        sample_clip_norm=clip,
     )
     init_fn, train_step, _ = make_afplus_trainer(net, cfg,
                                                  image_shape=(size, size))
@@ -92,17 +103,21 @@ def main():
 
     arr = np.asarray(losses)
     g = np.asarray(gnorms)
+    gf = g[np.isfinite(g)]  # all-NaN runs (observed!) must still report
     k = max(pool * 3, 12)  # compare whole-pool epochs, not single draws
     out = {
         "steps": steps, "pool": pool, "size": size, "clip": clip,
+        "chans": chans, "pools": pools, "variant": variant,
         "first_loss_mean": round(float(arr[:k].mean()), 5),
         "last_loss_mean": round(float(arr[-k:].mean()), 5),
         "delta": round(float(arr[-k:].mean() - arr[:k].mean()), 5),
-        "gnorm_median": float(np.median(g[np.isfinite(g)])),
-        "gnorm_max": float(np.max(g[np.isfinite(g)])),
+        "gnorm_median": float(np.median(gf)) if gf.size else None,
+        "gnorm_max": float(np.max(gf)) if gf.size else None,
         "nonfinite_frac": round(float(np.mean(~np.isfinite(g))), 4),
-        "outlier_frac_gt_10x_median": round(float(np.mean(
-            g[np.isfinite(g)] > 10 * np.median(g[np.isfinite(g)]))), 4),
+        "outlier_frac_gt_10x_median": (
+            round(float(np.mean(gf > 10 * np.median(gf))), 4)
+            if gf.size else None
+        ),
     }
     print(json.dumps(out, indent=2))
 

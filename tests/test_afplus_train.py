@@ -46,3 +46,26 @@ def test_afplus_trainer_step_runs():
         )
         assert np.isfinite(float(stats["loss"]))
         assert float(stats["nonfinite"]) in (0.0, 1.0)
+
+
+def test_precond_detach_forward_identical_grad_finite():
+    """precond_detach changes ONLY the backward: the inner unroll's output
+    (forward value) is bit-identical to the reference semantics, and the
+    outer gradient stays finite (the rsqrt-derivative m2^{-3/2} factors are
+    gone from the graph)."""
+    img = phantom_stack(1, 24, 24, seed=5)[0]
+    ks = fft2c(img)
+
+    def run(w, pd):
+        metric = lambda x: x * w
+        out = afplus_inner_unrolled(
+            metric, ks, iters=3, oversamp=2, precond_detach=pd
+        )
+        return jnp.abs(out).sum()
+
+    w = jnp.asarray(0.1)
+    v_ref = float(run(w, False))
+    v_pd = float(run(w, True))
+    assert v_ref == v_pd
+    g = jax.grad(lambda w: run(w, True))(w)
+    assert np.isfinite(float(g))
