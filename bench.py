@@ -123,6 +123,14 @@ def main():
         # 0.9885/35.20); heavy (FITMOV=18, C2F=50) prefers BENCH_FREEZE=50
         # -> 3.64 s/slice at 0.9684/31.58 (quality-par with freeze 0).
         motion_freeze_iters=int(os.environ.get("BENCH_FREEZE", "60")),
+        # Joint-span duty cycling (BENCH_DUTY="jxf", e.g. 5x10): alternate
+        # j joint iterations with f motion-frozen ones across the full-res
+        # joint span (config.py motion_duty; '' = off).
+        motion_duty=(
+            tuple(int(v) for v in os.environ["BENCH_DUTY"].split("x"))
+            if os.environ.get("BENCH_DUTY")
+            else ()
+        ),
         # Coarse-to-fine: BENCH_C2F iterations against the center-cropped
         # k-space on a BENCH_CSIZE^2 raster first (0 = off), or a
         # '+'-separated pyramid (config.py coarse_schedule).  Default

@@ -260,6 +260,16 @@ class InstanceFitConfig:
     # motion_freeze_tile_px - 1 and H, W divisible by the tile.
     motion_freeze_iters: int = 0
     motion_freeze_tile_px: int = 32
+    # Motion duty-cycling over the full-resolution JOINT span (deliberate
+    # divergence, () = reference parity = every iteration updates both
+    # INRs): with (j, f), the joint span alternates j joint iterations
+    # (both INRs, fused warp) with f motion-frozen iterations (Image INR
+    # only, precomputed warp weights — the same frozen machinery as
+    # motion_freeze_iters, weights rebuilt from the motion params at each
+    # frozen sub-span entry).  Motion keeps converging at a j/(j+f) duty
+    # rate while most iterations run at the ~1.8x-cheaper frozen step;
+    # compose with motion_freeze_iters for a fully-frozen tail.
+    motion_duty: Tuple[int, int] = ()
 
 
 @dataclasses.dataclass(frozen=True)

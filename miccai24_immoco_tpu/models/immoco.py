@@ -467,8 +467,10 @@ def _scale_coarse_sched(sched: np.ndarray, lam_scale: float) -> np.ndarray:
 def phase_spans(cfg: InstanceFitConfig):
     """[(start, end, phase_idx)] iteration spans of a (possibly c2f) fit:
     one span per coarse_phases(cfg) entry (phase_idx = its index), the
-    full-resolution joint remainder (phase_idx = -1), then the trailing
-    motion-frozen span (phase_idx = -2) when cfg.motion_freeze_iters > 0."""
+    full-resolution joint remainder (phase_idx = -1, duty-cycled into
+    alternating joint/frozen sub-spans when cfg.motion_duty is set), then
+    the trailing motion-frozen span (phase_idx = -2) when
+    cfg.motion_freeze_iters > 0."""
     spans, s = [], 0
     for i, (it, _sz) in enumerate(coarse_phases(cfg)):
         spans.append((s, s + it, i))
@@ -477,7 +479,25 @@ def phase_spans(cfg: InstanceFitConfig):
         fz = min(max(int(cfg.motion_freeze_iters), 0), cfg.iters - s)
         joint_end = cfg.iters - fz
         if joint_end > s:
-            spans.append((s, joint_end, -1))
+            if cfg.motion_duty:
+                # Duty-cycled joint span (cfg.motion_duty = (j, f)):
+                # alternate j joint iterations with f motion-frozen ones.
+                # Always starts AND ends with a joint sub-span so the
+                # motion field is fresh entering the frozen tail.
+                j, f = (max(int(v), 1) for v in cfg.motion_duty)
+                t = s
+                while t < joint_end:
+                    if t + j + f >= joint_end:
+                        # No room for a full cycle plus a trailing joint
+                        # entry: run joint to the end of the span.
+                        spans.append((t, joint_end, -1))
+                        t = joint_end
+                    else:
+                        spans.append((t, t + j, -1))
+                        spans.append((t + j, t + j + f, -2))
+                        t += j + f
+            else:
+                spans.append((s, joint_end, -1))
         if fz:
             spans.append((joint_end, cfg.iters, -2))
     return spans
@@ -950,7 +970,9 @@ def make_segmented_fit(model: IMMoCoModel, segment_len: int = 25):
 
     segment_fn = _make_segment(-1)
     frozen_segment_fn = (
-        _make_segment(-2) if cfg.motion_freeze_iters > 0 else None
+        _make_segment(-2)
+        if (cfg.motion_freeze_iters > 0 or cfg.motion_duty)
+        else None
     )
     phase_segment_fns = tuple(
         _make_segment(pi) for pi in range(len(model.coarse_levels))

@@ -112,6 +112,58 @@ def test_frozen_segmented_matches_single_graph():
     )
 
 
+def test_phase_spans_with_duty():
+    # Duty (2, 3) over a 12-iteration joint span with a 2-iter frozen tail:
+    # joint sub-spans alternate with frozen ones; the span before the tail
+    # stays joint (motion fresh entering the tail).
+    cfg = _freeze_cfg(iters=14, freeze=2, motion_duty=(2, 3))
+    assert phase_spans(cfg) == [
+        (0, 2, -1), (2, 5, -2), (5, 7, -1), (7, 10, -2), (10, 12, -1),
+        (12, 14, -2),
+    ]
+    # Duty without a frozen tail still ends on a joint sub-span.
+    cfg = _freeze_cfg(iters=10, freeze=0, motion_duty=(2, 3))
+    spans = phase_spans(cfg)
+    assert spans[-1][2] == -1
+    assert spans == [(0, 2, -1), (2, 5, -2), (5, 10, -1)]
+    # Total coverage is contiguous and complete either way.
+    for cfg in (
+        _freeze_cfg(iters=14, freeze=2, motion_duty=(2, 3)),
+        _freeze_cfg(iters=10, freeze=0, motion_duty=(3, 2)),
+    ):
+        spans = phase_spans(cfg)
+        assert spans[0][0] == 0 and spans[-1][1] == cfg.iters
+        assert all(a[1] == b[0] for a, b in zip(spans, spans[1:]))
+
+
+def test_duty_segmented_matches_single_graph():
+    cfg = _freeze_cfg(iters=12, freeze=3, motion_duty=(2, 2))
+    kspace, masks = _problem()
+    key = jax.random.PRNGKey(0)
+    model = build_immoco(cfg, 48, 48)
+    one = jax.jit(make_instance_fit(model))(kspace, masks, key, model.statics)
+    seg = make_segmented_fit(model, segment_len=4)(
+        kspace, masks, key, model.statics
+    )
+    np.testing.assert_allclose(
+        np.asarray(one.losses), np.asarray(seg.losses), rtol=2e-3, atol=1e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(jnp.abs(one.image)), np.asarray(jnp.abs(seg.image)),
+        rtol=2e-3, atol=1e-3,
+    )
+
+
+def test_duty_without_freeze_builds_frozen_segment():
+    cfg = _freeze_cfg(iters=8, freeze=0, motion_duty=(2, 2))
+    kspace, masks = _problem()
+    model = build_immoco(cfg, 48, 48)
+    run = make_segmented_fit(model, segment_len=4)
+    assert run.frozen_segment_fn is not None
+    r = run(kspace, masks, jax.random.PRNGKey(0), model.statics)
+    assert np.isfinite(np.abs(np.asarray(r.image))).all()
+
+
 def test_frozen_batched_runs_and_freeze0_is_parity():
     from miccai24_immoco_tpu.parallel.sharded_fit import (
         make_batched_segmented_fit,
