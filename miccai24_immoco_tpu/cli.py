@@ -563,7 +563,8 @@ def cmd_train_afplus(args):
         steps=args.steps, inner_iters=args.inner_iters,
         rot_moment_detach=args.stability in ("rot_detach", "both"),
         inner_eps=1e-12 if args.stability in ("eps", "both") else 0.0,
-        precond_detach=args.stability == "precond_detach",
+        precond_detach=args.stability in ("precond_detach", "precond_cot"),
+        cotangent_clip=1.0 if args.stability == "precond_cot" else 0.0,
         sample_clip_norm=args.sample_clip,
     )
     init_fn, train_step, _ = make_afplus_trainer(net, cfg, image_shape=(h, w))
@@ -847,7 +848,8 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--pools", type=int, default=6)
     t.add_argument(
         "--stability", default="ref",
-        choices=("ref", "rot_detach", "eps", "both", "precond_detach"),
+        choices=("ref", "rot_detach", "eps", "both", "precond_detach",
+                 "precond_cot"),
         help="bilevel NaN guard variant (train_afplus.AFPlusTrainConfig; "
         "'ref' = verbatim reference semantics)",
     )

@@ -57,6 +57,23 @@ class AFPlusTrainConfig:
     # derivative removes the m2 chain entirely while keeping the
     # magnitude-bounded m1 chain that carries the learning signal.
     precond_detach: bool = False
+    # Backward cotangent clipping at every inner-step boundary (0 = off).
+    # Measured (scripts/probe_afplus_nan_tpu.py): the outer gradient grows
+    # ~10x PER INNER STEP (gnorm ~4 at inner=1, ~1e5 at 5, ~1e10 at 10,
+    # overflow/NaN at 30 for both the 32/6 and 16/5 nets) — the
+    # lr*(1-b1)*rsqrt(m2) factor of the m1 chain amplifies cotangents
+    # wherever per-line inner gradients decay toward the 1e-24 m2 floor,
+    # so the 30-step chain overflows f32 no matter the outer clip (the
+    # reference recipe hits the same math; torch f32 overflows
+    # identically — its published checkpoint was trained on textured
+    # fastMRI data where inner gradients do not decay to the floor).
+    # cotangent_clip=c rescales the (xs, ys, rot, moments) cotangent
+    # pytree to global norm <= c at each step boundary (non-finite
+    # components zeroed first): the inner FORWARD is bit-identical, each
+    # step's contribution to the metric-net gradient keeps its direction,
+    # and the chain growth is structurally bounded.  Combine with
+    # precond_detach (kills the in-step rsqrt-derivative NaN source).
+    cotangent_clip: float = 0.0
     # Per-SAMPLE global-norm clip applied BEFORE gradient accumulation
     # (0 = off).  The reference calls clip_grad_norm_(1.0) after EVERY
     # sample's backward on the running .grad buffer
@@ -70,6 +87,30 @@ class AFPlusTrainConfig:
     sample_clip_norm: float = 0.0
 
 
+def _cotangent_clip(tree, c: float):
+    """Identity on ``tree`` in the forward; in the backward, zero
+    non-finite cotangent entries and rescale the cotangent pytree to
+    global norm <= ``c`` (AFPlusTrainConfig.cotangent_clip)."""
+    flat, treedef = jax.tree_util.tree_flatten(tree)
+
+    @jax.custom_vjp
+    def ident(*leaves):
+        return tuple(leaves)
+
+    def fwd(*leaves):
+        return tuple(leaves), None
+
+    def bwd(_, cts):
+        cts = tuple(jnp.nan_to_num(g, nan=0.0, posinf=0.0, neginf=0.0)
+                    for g in cts)
+        n = jnp.sqrt(sum((g.astype(jnp.float32) ** 2).sum() for g in cts))
+        scale = jnp.minimum(1.0, c / jnp.maximum(n, 1e-30))
+        return tuple(g * scale for g in cts)
+
+    ident.defvjp(fwd, bwd)
+    return jax.tree_util.tree_unflatten(treedef, ident(*flat))
+
+
 def afplus_inner_unrolled(
     metric_fn: Callable[[jnp.ndarray], jnp.ndarray],
     ks: jnp.ndarray,
@@ -80,6 +121,7 @@ def afplus_inner_unrolled(
     rot_moment_detach: bool = False,
     inner_eps: float = 0.0,
     precond_detach: bool = False,
+    cotangent_clip: float = 0.0,
 ):
     """Run `iters` AF+ Adam steps, differentiable end-to-end; returns the
     corrected k-space (the training variant without zero_middle)."""
@@ -145,7 +187,14 @@ def afplus_inner_unrolled(
 
     def scan_body(carry, _):
         xs, ys, rot, m = carry
-        return one_inner(xs, ys, rot, m), None
+        carry = one_inner(xs, ys, rot, m)
+        if cotangent_clip > 0:
+            # AFTER the step in the forward = BEFORE the step's vjp in the
+            # backward: every cotangent entering a step body (including
+            # the outer loss's own, at the last step) is already bounded,
+            # so each step's metric-net contribution is bounded too.
+            carry = _cotangent_clip(carry, cotangent_clip)
+        return carry, None
 
     # lax.scan, not a Python unroll: gradients flow through scan identically
     # (the outer metric-network grad differentiates the whole inner
@@ -223,6 +272,7 @@ def make_afplus_trainer(
                 rot_moment_detach=cfg.rot_moment_detach,
                 inner_eps=cfg.inner_eps,
                 precond_detach=cfg.precond_detach,
+                cotangent_clip=cfg.cotangent_clip,
             )
             out = jnp.abs(ifft2c(yp_ks))[None, None] * 1e4
             tgt = gt_img[None, None] * 1e4

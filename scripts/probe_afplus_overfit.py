@@ -21,7 +21,8 @@ deeper diagnosis before burning device-hours.
 
 Usage: python scripts/probe_afplus_overfit.py [steps=150] [pool=4]
           [size=320] [clip=1.0] [inner=30] [chans=32] [pools=6]
-          [variant=rot_detach: ref|rot_detach|eps|both|precond_detach]
+          [variant=rot_detach: ref|rot_detach|eps|both|precond_detach|
+           precond_cot]
 
 (chans/pools size the metric U-Net: the reference arch is 32/6 — 440 MB
 with opt state, machine-local only; 16/5 is the committed-distribution
@@ -75,7 +76,8 @@ def main():
         steps=20000, inner_iters=inner, accumulate=1,
         rot_moment_detach=variant in ("rot_detach", "both"),
         inner_eps=1e-12 if variant in ("eps", "both") else 0.0,
-        precond_detach=variant == "precond_detach",
+        precond_detach=variant in ("precond_detach", "precond_cot"),
+        cotangent_clip=1.0 if variant == "precond_cot" else 0.0,
         sample_clip_norm=clip,
     )
     init_fn, train_step, _ = make_afplus_trainer(net, cfg,

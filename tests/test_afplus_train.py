@@ -69,3 +69,30 @@ def test_precond_detach_forward_identical_grad_finite():
     assert v_ref == v_pd
     g = jax.grad(lambda w: run(w, True))(w)
     assert np.isfinite(float(g))
+
+
+def test_cotangent_clip_forward_identical_grad_bounded():
+    """cotangent_clip changes ONLY the backward: the inner unroll's output
+    is bit-identical to clip-off, the outer gradient is finite, and
+    scaling the outer loss by 1e12 (which would scale an unclipped
+    gradient by 1e12) leaves the clipped gradient's magnitude bounded by
+    the per-boundary rescale."""
+    img = phantom_stack(1, 24, 24, seed=7)[0]
+    ks = fft2c(img)
+
+    def run(w, cc, scale=1.0):
+        metric = lambda x: x * w
+        out = afplus_inner_unrolled(
+            metric, ks, iters=3, oversamp=2, precond_detach=True,
+            cotangent_clip=cc,
+        )
+        return jnp.abs(out).sum() * scale
+
+    w = jnp.asarray(0.1)
+    assert float(run(w, 0.0)) == float(run(w, 1.0))
+    g = float(jax.grad(lambda w: run(w, 1.0))(w))
+    g_big = float(jax.grad(lambda w: run(w, 1.0, scale=1e12))(w))
+    assert np.isfinite(g) and np.isfinite(g_big)
+    # The huge-cotangent run is clipped at every boundary: its gradient
+    # cannot be 1e12x the unit-scale one.
+    assert abs(g_big) < 1e6 * max(abs(g), 1e-12)
