@@ -70,10 +70,13 @@ def main():
     per_scenario = {}
     per_scenario_corrupt = {}
     meta: dict = {"scenarios": {}}
+    # Tiny-scale verification knobs (protocol defaults: 320² / 200 iters).
+    size = int(os.environ.get("E2E_SIZE", "320"))
+    iters = int(os.environ.get("E2E_ITERS", "200"))
     for scenario in scenarios:
         max_mov = 12 if scenario == "light" else 24
         cfg = InstanceFitConfig(
-            iters=200,
+            iters=iters,
             max_movements=max_mov,
             image_inr=ImageINRConfig(encoding="lattice"),
             motion_inr=MotionINRConfig(encoding="lattice"),
@@ -89,8 +92,15 @@ def main():
                 for p in os.environ.get("E2E_C2F", "").split("+") if p
             ),
             motion_freeze_iters=int(os.environ.get("E2E_FREEZE", "0")),
+            # Joint-span duty cycling (config.motion_duty), e.g.
+            # E2E_DUTY=10x10 — the measured heavy win (PERFORMANCE.md).
+            motion_duty=(
+                tuple(int(v) for v in os.environ["E2E_DUTY"].split("x"))
+                if os.environ.get("E2E_DUTY")
+                else ()
+            ),
         )
-        corpus = _synthetic_corpus(n, 320, scenario, seed=2024)
+        corpus = _synthetic_corpus(n, size, scenario, seed=2024)
         import time as _time
 
         buckets_env = os.environ.get("E2E_BUCKETS")
@@ -108,7 +118,7 @@ def main():
         want_diag = bool(int(os.environ.get("E2E_DIAG", "0"))) or extra
         out = run_immoco_batched(
             corpus, cfg, kld=kld, limit=n, batch_size=min(n, 4),
-            segment_len=50, buckets=buckets,
+            segment_len=min(50, iters), buckets=buckets,
             return_diagnostics=want_diag, **extra,
         )
         metrics, diags = out if want_diag else (out, None)
@@ -131,6 +141,7 @@ def main():
                 "ema_decay": cfg.ema_decay,
                 "coarse_schedule": list(map(list, cfg.coarse_schedule)),
                 "motion_freeze_iters": cfg.motion_freeze_iters,
+                "motion_duty": list(cfg.motion_duty),
             },
         }
         per_scenario[scenario] = metrics
