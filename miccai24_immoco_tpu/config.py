@@ -244,6 +244,21 @@ class InstanceFitConfig:
     # produces negligible ghosting, so measured data beats INR content
     # exactly where the fit says nothing moved.
     dc_motion_gate_px: float = 0.0
+    # Identity-column recentering gate in pixels (deliberate divergence,
+    # 0.0 = off = reference parity; the reference returns the fit as-is,
+    # immoco.py:206).  The uncorrupted columns are verbatim motion-free
+    # spectrum samples, so a common-mode shift of the reconstruction is
+    # observable without GT: phase-correlate the final image against the
+    # measured identity columns and undo the (dy, dx) peak if both
+    # components are <= this gate AND the correlation peak passes a
+    # confidence ratio (ops/recenter.py).  Applied BEFORE the dc_replace
+    # projection.  MEASURED at protocol scale (probe_recenter.py): the
+    # degenerate-basin heavy failures carry ~0 rigid shift — the fit's
+    # own k-space L2 anchors translation through the same columns — so
+    # this is a safety/diagnostic knob (measured-neutral on the 320²
+    # protocol), not a quality lever; see ops/recenter.py for the full
+    # measurement note.
+    recenter_max_px: float = 0.0
     # Trailing motion-frozen phase (deliberate divergence, 0 = reference
     # parity = joint optimization for all iterations, immoco.py:149-175):
     # the LAST ``motion_freeze_iters`` full-resolution iterations hold the

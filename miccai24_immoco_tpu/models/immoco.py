@@ -741,8 +741,7 @@ def make_instance_fit(
         params = carry[2] if use_ema else carry[0]
 
         k_fwd, image, mot = _forward_final(model, params, masks, statics)
-        if cfg.dc_replace:
-            image = _dc_project(model, image, k_in, masks, statics, mot)
+        image = _finalize_image(model, image, k_in, masks, statics, mot)
         descale = scale / cfg.kspace_scale
         return FitResult(
             image=image * descale, kspace_forward=k_fwd * descale, losses=losses
@@ -758,6 +757,29 @@ def _forward_final(model, params, masks, statics):
         return model.forward(params, masks, statics, with_motion=True)
     k_fwd, image = model.forward(params, masks, statics)
     return k_fwd, image, None
+
+
+def _finalize_image(model, image, k_in, masks, statics, mot):
+    """Output-stage corrections shared by every fit variant, in order:
+
+    1. cfg.recenter_max_px — undo the degenerate common-mode shift via
+       phase correlation against the measured identity columns
+       (ops/recenter.py; no-op when the gate is 0).
+    2. cfg.dc_replace — hard data-consistency projection (_dc_project).
+
+    Recentering runs first so the projection mixes ALIGNED INR content
+    with the measured columns instead of ghosting a shifted copy."""
+    cfg = model.cfg
+    if cfg.recenter_max_px > 0:
+        from miccai24_immoco_tpu.ops.recenter import recenter_to_identity
+
+        ident = jnp.clip(1.0 - masks.sum(0), 0.0, 1.0)
+        image, _, _ = recenter_to_identity(
+            k_in, image, ident, cfg.recenter_max_px
+        )
+    if cfg.dc_replace:
+        image = _dc_project(model, image, k_in, masks, statics, mot)
+    return image
 
 
 def _dc_project(model, image, k_in, masks, statics, mot=None):
@@ -988,8 +1010,7 @@ def make_segmented_fit(model: IMMoCoModel, segment_len: int = 25):
         k_fwd, image, mot = _forward_final(
             model, params["e"] if use_ema else params, masks, statics
         )
-        if cfg.dc_replace:
-            image = _dc_project(model, image, k_in, masks, statics, mot)
+        image = _finalize_image(model, image, k_in, masks, statics, mot)
         descale = scale / cfg.kspace_scale
         return image * descale, k_fwd * descale
 

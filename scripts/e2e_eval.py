@@ -99,6 +99,10 @@ def main():
                 if os.environ.get("E2E_DUTY")
                 else ()
             ),
+            # Identity-column recentering gate (config.recenter_max_px):
+            # undoes the degenerate common-mode shift when a movement band
+            # owns the k-space center (ops/recenter.py).
+            recenter_max_px=float(os.environ.get("E2E_RECENTER", "0")),
         )
         corpus = _synthetic_corpus(n, size, scenario, seed=2024)
         import time as _time
@@ -142,6 +146,7 @@ def main():
                 "coarse_schedule": list(map(list, cfg.coarse_schedule)),
                 "motion_freeze_iters": cfg.motion_freeze_iters,
                 "motion_duty": list(cfg.motion_duty),
+                "recenter_max_px": cfg.recenter_max_px,
             },
         }
         per_scenario[scenario] = metrics
