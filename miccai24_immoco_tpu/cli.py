@@ -44,9 +44,12 @@ def _load_ckpt(path):
 
 
 def _unwrap_params(tree):
-    """Accept both legacy params-only checkpoints and full train-state
-    checkpoints ({"params", "opt_state"}) wherever only params are needed."""
-    if isinstance(tree, dict) and "params" in tree and "opt_state" in tree:
+    """Accept legacy params-only checkpoints, full train-state checkpoints
+    ({"params", "opt_state"}), and bare {"params": ...} wrappers wherever
+    only params are needed.  A flax params tree never has a top-level
+    "params" key itself (its keys are module names), so unwrapping a dict
+    whose ONLY tree-ish key is "params" is unambiguous."""
+    if isinstance(tree, dict) and "params" in tree:
         return tree["params"]
     return tree
 

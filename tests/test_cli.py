@@ -136,3 +136,32 @@ def test_cli_train_denoiser_lesion_corpus(tmp_path, capsys):
     )
     assert os.path.isdir(ckpt)
     assert "saved" in capsys.readouterr().out
+
+
+def test_cli_eval_afplus_params_only_ckpt(tmp_path, capsys):
+    """eval-afplus accepts both the trainer's {"params","opt_state"}
+    checkpoints and bare {"params": ...} saves (regression: the latter
+    double-wrapped and crashed flax apply)."""
+    import jax
+    import jax.numpy as jnp
+
+    from miccai24_immoco_tpu.config import UnetConfig
+    from miccai24_immoco_tpu.models.unet import build_unet
+    from miccai24_immoco_tpu.utils.checkpoint import save
+
+    net = build_unet(UnetConfig(in_chans=1, out_chans=1, chans=4,
+                                num_pool_layers=2, norm="instance"))
+    params = net.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 1)),
+                      train=False)["params"]
+    ckpt = str(tmp_path / "afplus_params_only")
+    save(ckpt, {"params": params}, metadata={"step": 0})
+
+    main([
+        "eval-afplus", "--ckpt", ckpt,
+        "--synthetic", "1", "--size", "32", "--scenarios", "light",
+        "--iters", "2", "--chans", "4", "--pools", "2",
+        "--out-dir", str(tmp_path / "results"),
+    ])
+    out = capsys.readouterr().out
+    stats = json.loads(out[out.index("{"):])
+    assert "light" in stats and "ssim" in stats["light"]
