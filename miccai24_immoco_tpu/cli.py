@@ -203,6 +203,12 @@ def cmd_train_denoiser(args):
         from miccai24_immoco_tpu.ops.fft import fft2c
         from miccai24_immoco_tpu.utils.hostio import put_complex
 
+        if args.lesions < 2:
+            raise SystemExit(
+                "--lesions must be >= 2: at least one slice is held out "
+                f"for validation (got {args.lesions}, which would leave an "
+                "empty training split)"
+            )
         corpus = lesion_corpus(args.lesions, args.size, args.size, seed=0)
         ksp = jax.jit(fft2c)(put_complex(corpus["image"]))
         n_val = max(args.lesions // 5, 1)

@@ -316,7 +316,15 @@ def run_immoco_batched(
             else:
                 ges = np.asarray(vge(result.image))
             for j, (i, _s) in enumerate(batch):
-                if i in ge_by_idx and ge_by_idx[i] <= ges[j]:
+                # A non-finite selection score (diverged restart: NaN loss /
+                # NaN-GE image) must never displace a finite earlier winner —
+                # NaN comparisons are all False, so the naive `prev <= new`
+                # guard would let the NaN candidate through.
+                if not np.isfinite(ges[j]) and i in ge_by_idx:
+                    continue
+                if i in ge_by_idx and (
+                    np.isfinite(ge_by_idx[i]) and ge_by_idx[i] <= ges[j]
+                ):
                     continue  # an earlier restart of this slice won on GE
                 ge_by_idx[i] = float(ges[j])
                 if final_losses is not None:

@@ -135,6 +135,17 @@ class IMMoCoModel:
         """First (coarsest) companion, or None — single-level back-compat."""
         return self.coarse_levels[0] if self.coarse_levels else None
 
+    @property
+    def _warp_dtype(self):
+        """One warp compute dtype for BOTH the joint-phase sampling matmuls
+        and the frozen-tail precomputed weights — a joint/frozen dtype
+        mismatch would put a numeric discontinuity in the loss at every
+        phase boundary (and every duty-cycle flip)."""
+        return (
+            jnp.bfloat16 if self.cfg.compute_dtype == "bfloat16"
+            else jnp.float32
+        )
+
     def init(self, key) -> Dict[str, Any]:
         k1, k2 = jax.random.split(key)
         return {"image": self.image_inr.init(k1), "motion": self.motion_inr.init(k2)}
@@ -260,6 +271,7 @@ class IMMoCoModel:
                 image, _grids_cl(), align_corners=False,
                 band_px=self.cfg.warp_band_px,
                 tile_px=self.cfg.warp_tile_px,
+                compute_dtype=self._warp_dtype,
             )
         elif self.cfg.warp_impl == "pallas_tiled":
             from miccai24_immoco_tpu.ops.warp_tiled_pallas import (
@@ -350,16 +362,30 @@ class IMMoCoModel:
             )
         from miccai24_immoco_tpu.ops.warp_mm import bilinear_weights_tiled
 
+        # Same windowed-weights validity condition as the fused pallas
+        # entry: each 3*tile window only covers displacements up to
+        # tile_px - 1, and bilinear_weights_tiled validates shapes, not the
+        # bound — an unbounded motion field would silently clamp warps in
+        # the frozen tail while the joint phase (dense one-hots, exact for
+        # any displacement) did not.
+        tile = self.cfg.motion_freeze_tile_px
+        if (
+            self.cfg.motion_disp_px is None
+            or self.cfg.motion_disp_px > tile - 1
+        ):
+            raise ValueError(
+                "motion_freeze_iters/motion_duty with warp_impl="
+                f"'{self.cfg.warp_impl}' requires motion_disp_px <= "
+                f"motion_freeze_tile_px - 1 = {tile - 1} (got "
+                f"{self.cfg.motion_disp_px}); the tiled frozen weights "
+                "clamp displacements beyond their 3*tile window"
+            )
         if grids is None:
             grids = jnp.stack([gx, gy], axis=-1)
-        dtype = (
-            jnp.bfloat16 if self.cfg.compute_dtype == "bfloat16"
-            else jnp.float32
-        )
         return bilinear_weights_tiled(
             jax.lax.stop_gradient(grids), self.height, self.width,
-            tile_px=self.cfg.motion_freeze_tile_px, align_corners=False,
-            compute_dtype=dtype,
+            tile_px=tile, align_corners=False,
+            compute_dtype=self._warp_dtype,
         )
 
     def forward_frozen(self, params_image, warp_wts, masks, statics):
@@ -383,11 +409,15 @@ class IMMoCoModel:
 
 def _upsample_matrix(n: int, m: int) -> jnp.ndarray:
     """(n, m) row-stochastic linear-interp matrix: target linspace(-1,1,n)
-    sampled from a source linspace(-1,1,m) lattice (hat weights)."""
-    t = jnp.linspace(-1.0, 1.0, n, dtype=jnp.float32)
-    pos = (t + 1.0) * 0.5 * (m - 1)  # fractional source index per target
-    src = jnp.arange(m, dtype=jnp.float32)
-    return jax.nn.relu(1.0 - jnp.abs(pos[:, None] - src[None, :]))
+    sampled from a source linspace(-1,1,m) lattice (hat weights).
+
+    Delegates to ops/lattice._interp_matrix — the motion-raster upsample
+    MUST use the same per-axis lerp convention as the lattice encoding plan
+    it composes with (element-identical; a second implementation here had
+    already reproduced it independently)."""
+    from miccai24_immoco_tpu.ops.lattice import _interp_matrix
+
+    return jnp.asarray(_interp_matrix(n, m))
 
 
 def coarse_hw(
@@ -1052,6 +1082,9 @@ def make_segmented_fit(model: IMMoCoModel, segment_len: int = 25):
     return run
 
 
+_MOTION_CORRECT_CACHE: Dict[Any, Any] = {}
+
+
 def motion_correct(
     kspace: jnp.ndarray,
     masks: jnp.ndarray,
@@ -1064,9 +1097,20 @@ def motion_correct(
 
     Runs as compiled segments (numerically identical to the single-graph
     scan; required on runtimes that bound per-program execution time).
+
+    The (model, fit) pair is memoized per (H, W, cfg, segment_len): the fit
+    closes over fresh ``jax.jit`` objects, so rebuilding it per call would
+    retrace the multi-segment programs every time (per-slice eval loops paid
+    minutes of pure tracing on the remote-compile runtime).
     """
     h, w = kspace.shape
-    model = build_immoco(cfg, h, w)
+    cache_key = (h, w, cfg, segment_len)
+    cached = _MOTION_CORRECT_CACHE.get(cache_key)
+    if cached is None:
+        model = build_immoco(cfg, h, w)
+        cached = (model, make_segmented_fit(model, segment_len=segment_len))
+        _MOTION_CORRECT_CACHE[cache_key] = cached
+    model, fit = cached
     if masks.shape[0] != cfg.max_movements:
         pad = cfg.max_movements - masks.shape[0]
         if pad < 0:
@@ -1076,5 +1120,4 @@ def motion_correct(
         masks = jnp.pad(masks.astype(jnp.float32), ((0, pad), (0, 0), (0, 0)))
     if key is None:
         key = jax.random.PRNGKey(0)
-    fit = make_segmented_fit(model, segment_len=segment_len)
     return fit(kspace, masks.astype(jnp.float32), key, model.statics)

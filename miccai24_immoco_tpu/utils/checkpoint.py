@@ -26,6 +26,13 @@ def save(path: str, tree: Any, metadata: Optional[Dict] = None) -> None:
         shutil.rmtree(tmp)
     ckpt.save(tmp, tree)
     ckpt.wait_until_finished()
+    # Metadata goes into the tmp dir BEFORE the swap so tree+meta become
+    # visible atomically — writing it after the swap left a window where a
+    # crash produced a restorable tree whose step counter/meta was missing
+    # (and a fresh-schedule resume on a partially trained net).
+    if metadata is not None:
+        with open(os.path.join(tmp, "immoco_meta.json"), "w") as f:
+            json.dump(metadata, f)
     # Swap order guarantees a valid checkpoint exists at every instant: move
     # the old one ASIDE (not away) before the tmp takes its place, so a crash
     # mid-swap leaves either path or path+'.old_save' restorable.
@@ -41,9 +48,6 @@ def save(path: str, tree: Any, metadata: Optional[Dict] = None) -> None:
         import shutil
 
         shutil.rmtree(old)
-    if metadata is not None:
-        with open(os.path.join(path, "immoco_meta.json"), "w") as f:
-            json.dump(metadata, f)
 
 
 def restore(path: str, target: Any = None) -> Any:
@@ -88,8 +92,15 @@ def restore(path: str, target: Any = None) -> Any:
 
 
 def restore_with_meta(path: str, target: Any = None) -> Tuple[Any, Dict]:
+    path = os.path.abspath(path)
+    # Resolve restore()'s crash-recovery fallback ONCE so the metadata is
+    # read from the same directory the tree comes from — reading meta from
+    # the missing primary path returned {} and silently restarted resumed
+    # schedules from step 0.
+    if not os.path.exists(path) and os.path.exists(path + ".old_save"):
+        path = path + ".old_save"
     tree = restore(path, target=target)
-    meta_path = os.path.join(os.path.abspath(path), "immoco_meta.json")
+    meta_path = os.path.join(path, "immoco_meta.json")
     meta = {}
     if os.path.exists(meta_path):
         with open(meta_path) as f:
