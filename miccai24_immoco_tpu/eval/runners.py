@@ -45,6 +45,18 @@ from miccai24_immoco_tpu.train.train_kld import (
 from miccai24_immoco_tpu.utils.hostio import put_complex
 
 
+def _restart_improves(prev: Optional[float], new: float) -> bool:
+    """Best-of-K restart winner rule: lower selection score wins, and a
+    non-finite score (diverged restart: NaN final loss / NaN-GE image) never
+    displaces a finite earlier winner — the naive ``prev <= new`` guard let
+    NaN candidates through because NaN comparisons are all False."""
+    if prev is None:
+        return True
+    if not np.isfinite(new):
+        return False
+    return not (np.isfinite(prev) and prev <= new)
+
+
 def _metrics_dict(pred, gt) -> Dict[str, float]:
     vals = np.asarray(_slice_metrics(jnp.abs(pred), jnp.abs(gt)))
     return {k: float(v) for k, v in zip(METRIC_NAMES, vals)}
@@ -316,16 +328,8 @@ def run_immoco_batched(
             else:
                 ges = np.asarray(vge(result.image))
             for j, (i, _s) in enumerate(batch):
-                # A non-finite selection score (diverged restart: NaN loss /
-                # NaN-GE image) must never displace a finite earlier winner —
-                # NaN comparisons are all False, so the naive `prev <= new`
-                # guard would let the NaN candidate through.
-                if not np.isfinite(ges[j]) and i in ge_by_idx:
-                    continue
-                if i in ge_by_idx and (
-                    np.isfinite(ge_by_idx[i]) and ge_by_idx[i] <= ges[j]
-                ):
-                    continue  # an earlier restart of this slice won on GE
+                if not _restart_improves(ge_by_idx.get(i), ges[j]):
+                    continue  # an earlier restart of this slice won
                 ge_by_idx[i] = float(ges[j])
                 if final_losses is not None:
                     diag_by_idx[i] = {

@@ -273,3 +273,19 @@ def test_run_immoco_batched_fallback_disp(corpus):
             put_complex(corpus["image_rss"][i]),
         )
         assert m["psnr"] == expect["psnr"] and m["ssim"] == expect["ssim"]
+
+
+def test_restart_improves_nan_safe():
+    """Best-of-K winner rule: a diverged (NaN) restart never displaces a
+    finite earlier winner, and finite scores pick the minimum."""
+    from miccai24_immoco_tpu.eval.runners import _restart_improves
+
+    nan = float("nan")
+    assert _restart_improves(None, 0.4)          # first restart always wins
+    assert _restart_improves(None, nan)          # ...even a bad one
+    assert not _restart_improves(0.4, nan)       # NaN never beats finite
+    assert _restart_improves(nan, 0.4)           # finite replaces NaN
+    assert not _restart_improves(nan, nan)       # NaN vs NaN: keep first
+    assert _restart_improves(0.5, 0.4)           # lower score wins
+    assert not _restart_improves(0.4, 0.5)
+    assert not _restart_improves(0.4, 0.4)       # ties keep the earlier

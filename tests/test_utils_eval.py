@@ -87,3 +87,19 @@ def test_weights_registry(tmp_path, monkeypatch):
     monkeypatch.setitem(weights.REGISTRY, "tmp", p)
     params, meta = weights.load("tmp")
     assert meta == {"k": 1}
+
+
+def test_checkpoint_crash_recovery_meta(tmp_path):
+    """A crash between save()'s two os.replace calls leaves only
+    <path>.old_save; restore_with_meta must read tree AND metadata from the
+    set-aside dir (reading meta from the missing primary returned {} and
+    silently restarted resumed schedules from step 0)."""
+    import os
+
+    p = str(tmp_path / "ckpt")
+    save(p, {"a": jnp.ones(3)}, metadata={"step": 7})
+    save(p, {"a": jnp.ones(3) * 2}, metadata={"step": 9})
+    os.replace(p, p + ".old_save")  # simulate the mid-swap crash window
+    back, meta = restore_with_meta(p)
+    assert meta == {"step": 9}
+    np.testing.assert_allclose(np.asarray(back["a"]), 2.0)
