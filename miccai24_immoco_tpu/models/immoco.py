@@ -627,6 +627,82 @@ def build_immoco(
     )
 
 
+def _joint_loss(cfg, fwd_model, k_target, masks, st):
+    """Joint-phase fit loss: k-space data consistency + λ·gradient-entropy
+    (+ optional displacement L2) — the one loss every fit variant optimizes
+    (reference immoco.py:145-176)."""
+
+    def loss_fn(p, lam):
+        if cfg.lambda_motion > 0:
+            k_out, image, mot = fwd_model.forward(
+                p, masks, st, with_motion=True
+            )
+            return (
+                real_pair_mse(k_out, k_target)
+                + lam * gradient_entropy(image)
+                + cfg.lambda_motion * mot["l2"]
+            )
+        k_out, image = fwd_model.forward(p, masks, st)
+        return real_pair_mse(k_out, k_target) + lam * gradient_entropy(image)
+
+    return loss_fn
+
+
+def _frozen_loss(model, wts, k_in, masks, statics):
+    """Motion-frozen phase loss: Image INR only, warp applied via the
+    precomputed tiled weights.  The lambda_motion term is constant here
+    (motion fixed) so it is omitted — its gradient is zero either way."""
+
+    def loss_fn(p_img, lam):
+        k_out, image = model.forward_frozen(p_img, wts, masks, statics)
+        return real_pair_mse(k_out, k_in) + lam * gradient_entropy(image)
+
+    return loss_fn
+
+
+def _make_scan_step(opt, loss_fn, use_ema, cp=lambda p: p,
+                    freeze_motion=False):
+    """The one Adam/EMA scan-step body shared by every fit variant
+    (single-scan and segmented, joint/coarse/frozen phases) — four hand-
+    maintained copies of this had already drifted subtly.
+
+    carry = (params, opt_state[, ema]); x = lam or [lam, ema_beta].
+    ``cp``: sharding-constraint hook re-applied after each update
+    (parallel/sharded_fit.tp_constraints; identity otherwise).
+    ``freeze_motion``: gradients taken for params["image"] only, and the
+    motion update zeroed so the motion params are EXACTLY frozen (Adam
+    moments for motion keep decaying on zero grads)."""
+    zeros_like = lambda t: jax.tree_util.tree_map(jnp.zeros_like, t)
+
+    def step(carry, x):
+        if use_ema:
+            p, s, e = carry
+            lam, beta = x[0], x[1]
+        else:
+            p, s = carry
+            lam = x
+        if freeze_motion:
+            loss, g_img = jax.value_and_grad(loss_fn)(p["image"], lam)
+            grads = {"image": g_img, "motion": zeros_like(p["motion"])}
+        else:
+            loss, grads = jax.value_and_grad(loss_fn)(p, lam)
+        updates, s = opt.update(grads, s)
+        if freeze_motion:
+            updates = {
+                "image": updates["image"],
+                "motion": zeros_like(updates["motion"]),
+            }
+        p = cp(optax.apply_updates(p, updates))
+        if use_ema:
+            e = jax.tree_util.tree_map(
+                lambda a, b: beta * a + (1.0 - beta) * b, e, p
+            )
+            return (p, s, e), loss
+        return (p, s), loss
+
+    return step
+
+
 def make_instance_fit(
     model: IMMoCoModel,
     constrain_params: Optional[Callable] = None,
@@ -673,80 +749,6 @@ def make_instance_fit(
         params = cp(model.init(key))
         opt_state = opt.init(params)
 
-        def make_step(fwd_model, k_target, mask_arg, st):
-            def loss_fn(p, lam):
-                if cfg.lambda_motion > 0:
-                    k_out, image, mot = fwd_model.forward(
-                        p, mask_arg, st, with_motion=True
-                    )
-                    return (
-                        real_pair_mse(k_out, k_target)
-                        + lam * gradient_entropy(image)
-                        + cfg.lambda_motion * mot["l2"]
-                    )
-                k_out, image = fwd_model.forward(p, mask_arg, st)
-                return real_pair_mse(k_out, k_target) + lam * gradient_entropy(
-                    image
-                )
-
-            def step(carry, x):
-                if use_ema:
-                    p, s, e = carry
-                    lam, beta = x[0], x[1]
-                else:
-                    p, s = carry
-                    lam = x
-                loss, grads = jax.value_and_grad(loss_fn)(p, lam)
-                updates, s = opt.update(grads, s)
-                p = cp(optax.apply_updates(p, updates))
-                if use_ema:
-                    e = jax.tree_util.tree_map(
-                        lambda a, b: beta * a + (1.0 - beta) * b, e, p
-                    )
-                    return (p, s, e), loss
-                return (p, s), loss
-
-            return step
-
-        def make_frozen_step(wts):
-            # Motion-frozen tail (cfg.motion_freeze_iters): Image INR only,
-            # warp applied via the precomputed tiled weights.  The
-            # lambda_motion term is constant here (motion fixed) so it is
-            # omitted — its gradient is zero either way.
-            def loss_fn(p_img, lam):
-                k_out, image = model.forward_frozen(p_img, wts, masks, statics)
-                return real_pair_mse(k_out, k_in) + lam * gradient_entropy(
-                    image
-                )
-
-            zeros_like = lambda t: jax.tree_util.tree_map(jnp.zeros_like, t)
-
-            def step(carry, x):
-                if use_ema:
-                    p, s, e = carry
-                    lam, beta = x[0], x[1]
-                else:
-                    p, s = carry
-                    lam = x
-                loss, g_img = jax.value_and_grad(loss_fn)(p["image"], lam)
-                grads = {"image": g_img, "motion": zeros_like(p["motion"])}
-                updates, s = opt.update(grads, s)
-                # Adam moments for motion keep decaying on zero grads; zero
-                # the motion update so the params are EXACTLY frozen.
-                updates = {
-                    "image": updates["image"],
-                    "motion": zeros_like(updates["motion"]),
-                }
-                p = cp(optax.apply_updates(p, updates))
-                if use_ema:
-                    e = jax.tree_util.tree_map(
-                        lambda a, b: beta * a + (1.0 - beta) * b, e, p
-                    )
-                    return (p, s, e), loss
-                return (p, s), loss
-
-            return step
-
         carry = (params, opt_state, params) if use_ema else (params, opt_state)
         loss_segs = []
         for pi, sched_p in phase_scheds:
@@ -755,14 +757,19 @@ def make_instance_fit(
                 # k-space on phase pi's raster (config.py coarse_schedule).
                 cmod = model.coarse_levels[pi]
                 k_p, m_p = _coarse_crop(model, cmod, k_in, masks)
-                step = make_step(cmod, k_p, m_p, statics[f"coarse{pi}"])
+                loss_fn = _joint_loss(cfg, cmod, k_p, m_p, statics[f"coarse{pi}"])
+                step = _make_scan_step(opt, loss_fn, use_ema, cp=cp)
             elif pi == -2:
                 # Weights built once from the phase-entry motion params —
                 # hoisted out of the scan by construction.
                 wts = model.frozen_warp_weights(carry[0], masks, statics)
-                step = make_frozen_step(wts)
+                loss_fn = _frozen_loss(model, wts, k_in, masks, statics)
+                step = _make_scan_step(
+                    opt, loss_fn, use_ema, cp=cp, freeze_motion=True
+                )
             else:
-                step = make_step(model, k_in, masks, statics)
+                loss_fn = _joint_loss(cfg, model, k_in, masks, statics)
+                step = _make_scan_step(opt, loss_fn, use_ema, cp=cp)
             carry, l_p = jax.lax.scan(step, carry, sched_p)
             loss_segs.append(l_p)
         losses = (
@@ -927,38 +934,9 @@ def make_segmented_fit(model: IMMoCoModel, segment_len: int = 25):
             else:
                 st = statics
 
-            def loss_fn(p, lam):
-                if cfg.lambda_motion > 0:
-                    k_out, image, mot = fwd_model.forward(
-                        p, masks, st, with_motion=True
-                    )
-                    return (
-                        real_pair_mse(k_out, k_in)
-                        + lam * gradient_entropy(image)
-                        + cfg.lambda_motion * mot["l2"]
-                    )
-                k_out, image = fwd_model.forward(p, masks, st)
-                return real_pair_mse(k_out, k_in) + lam * gradient_entropy(
-                    image
-                )
-
-            def step(carry, x):
-                if use_ema:
-                    p, s, e = carry
-                    lam, beta = x[0], x[1]
-                else:
-                    p, s = carry
-                    lam = x
-                loss, grads = jax.value_and_grad(loss_fn)(p, lam)
-                updates, s = opt.update(grads, s)
-                p = optax.apply_updates(p, updates)
-                if use_ema:
-                    e = jax.tree_util.tree_map(
-                        lambda a, b: beta * a + (1.0 - beta) * b, e, p
-                    )
-                    return (p, s, e), loss
-                return (p, s), loss
-
+            step = _make_scan_step(
+                opt, _joint_loss(cfg, fwd_model, k_in, masks, st), use_ema
+            )
             carry0 = ((params["p"], opt_state, params["e"]) if use_ema
                       else (params, opt_state))
             carry, losses = jax.lax.scan(step, carry0, sched_seg)
@@ -975,43 +953,16 @@ def make_segmented_fit(model: IMMoCoModel, segment_len: int = 25):
         # Image INR alone through pure-MXU weight applies.  Bit-identical
         # to make_instance_fit's frozen phase: the motion params never
         # change, so per-segment weight rebuilds yield identical weights.
-        zeros_like = lambda t: jax.tree_util.tree_map(jnp.zeros_like, t)
-
         @jax.jit
         def frozen_segment_fn(params, opt_state, k_in, masks, sched_seg,
                               statics):
             p0 = params["p"] if use_ema else params
             wts = model.frozen_warp_weights(p0, masks, statics)
 
-            def loss_fn(p_img, lam):
-                k_out, image = model.forward_frozen(p_img, wts, masks,
-                                                    statics)
-                return real_pair_mse(k_out, k_in) + lam * gradient_entropy(
-                    image
-                )
-
-            def step(carry, x):
-                if use_ema:
-                    p, s, e = carry
-                    lam, beta = x[0], x[1]
-                else:
-                    p, s = carry
-                    lam = x
-                loss, g_img = jax.value_and_grad(loss_fn)(p["image"], lam)
-                grads = {"image": g_img, "motion": zeros_like(p["motion"])}
-                updates, s = opt.update(grads, s)
-                updates = {
-                    "image": updates["image"],
-                    "motion": zeros_like(updates["motion"]),
-                }
-                p = optax.apply_updates(p, updates)
-                if use_ema:
-                    e = jax.tree_util.tree_map(
-                        lambda a, b: beta * a + (1.0 - beta) * b, e, p
-                    )
-                    return (p, s, e), loss
-                return (p, s), loss
-
+            step = _make_scan_step(
+                opt, _frozen_loss(model, wts, k_in, masks, statics), use_ema,
+                freeze_motion=True,
+            )
             carry0 = ((params["p"], opt_state, params["e"]) if use_ema
                       else (params, opt_state))
             carry, losses = jax.lax.scan(step, carry0, sched_seg)
