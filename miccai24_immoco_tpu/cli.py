@@ -575,6 +575,8 @@ def cmd_train_afplus(args):
         precond_detach=args.stability in ("precond_detach", "precond_cot"),
         cotangent_clip=1.0 if args.stability == "precond_cot" else 0.0,
         sample_clip_norm=args.sample_clip,
+        trunc_bptt=args.trunc,
+        outer_loss=args.outer_loss,
     )
     init_fn, train_step, _ = make_afplus_trainer(net, cfg, image_shape=(h, w))
     log_fn = _make_log_fn(
@@ -619,6 +621,8 @@ def cmd_train_afplus(args):
         if i % 10 == 0:
             log_fn(i, {"loss": float(stats["loss"]),
                        "gnorm": float(stats["gnorm"]),
+                       "l1": float(stats["l1"]),
+                       "ssim": float(stats["ssim"]),
                        "nan_count": nan_count})
         if i and i % 100 == 0:
             _ckpt(i + 1)  # periodic: long runs survive preemption
@@ -861,6 +865,17 @@ def build_parser() -> argparse.ArgumentParser:
                  "precond_cot"),
         help="bilevel NaN guard variant (train_afplus.AFPlusTrainConfig; "
         "'ref' = verbatim reference semantics)",
+    )
+    t.add_argument(
+        "--trunc", type=int, default=0,
+        help="truncated BPTT: outer gradient through only the last K inner "
+        "steps (AFPlusTrainConfig.trunc_bptt; 0 = full chain)",
+    )
+    t.add_argument(
+        "--outer-loss", default="ref", choices=("ref", "norm_ssim"),
+        help="outer loss variant: 'ref' = verbatim reference formula "
+        "(ssim term saturates on scale-mismatched pairs), 'norm_ssim' = "
+        "ssim on the minmax-normalized pair (scale-free)",
     )
     t.add_argument(
         "--sample-clip", type=float, default=0.0,

@@ -28,7 +28,7 @@ from miccai24_immoco_tpu.models.unet import Unet, build_unet
 from miccai24_immoco_tpu.models.af_plus import rotate_kspace
 from miccai24_immoco_tpu.ops.fft import fft2c, ifft2c
 from miccai24_immoco_tpu.ops.motion_sim import simulate_motion_2d
-from miccai24_immoco_tpu.train.train_denoiser import denoiser_loss
+from miccai24_immoco_tpu.train.train_denoiser import _minmax, _ssim_nonneg_255
 
 
 @dataclasses.dataclass(frozen=True)
@@ -85,6 +85,35 @@ class AFPlusTrainConfig:
     # entirely, which matches the observed flat-loss runs.  sample_clip
     # bounds each sample's influence like the reference's running clip.
     sample_clip_norm: float = 0.0
+    # Outer loss variant.  "ref" = verbatim reference loss_function
+    # (train_afplus_original.py:69-74,205-207): 0.16*L1(minmax pair) +
+    # 0.84*(1 - nonneg ssim@255) on (AF+ output, GT) x 1e4 — but the AF+
+    # output descends from the std-NORMALIZED corrupted k-space (:136)
+    # while the GT stays at raw corpus scale, and AF+ phase manipulations
+    # are magnitude-preserving, so the ssim luminance term is pinned by an
+    # unfixable scale ratio.  Measured on the synthetic corpus: the ssim
+    # term sits at ~4e-4 from init — the 0.84-weighted term is saturated
+    # and its gradient points along the unfixable scale direction (the
+    # reference's preprocessed fastMRI tensors may sit at a scale where
+    # the term is live; ours provably does not).  "norm_ssim" minmax-
+    # normalizes BOTH images for the ssim term too (data_range=1), making
+    # it scale-free like the L1 term already is.
+    outer_loss: str = "ref"
+    # Truncated backprop through the inner unroll (0 = full chain =
+    # reference semantics).  trunc_bptt=k runs the same forward but takes
+    # the outer gradient only through the LAST k inner steps
+    # (lax.stop_gradient on the carry at the truncation boundary, so the
+    # first iters-k steps contribute neither chained nor direct terms).
+    # Rationale (measured, scripts/probe_afplus_nan_tpu.py + the step-1900
+    # signal probe): the cotangent norm grows ~10x PER STEP through the
+    # inner Adam chain, so the full-30-step gradient is dominated by the
+    # chain's most-explosive directions — after 2000 precond_cot steps the
+    # trained net scored WORSE than random init on held-out slices
+    # (artifacts/afplus_full/probe_signal_step1900.log), i.e. the clipped
+    # full-chain gradient is noise.  Truncation is the standard estimator
+    # for unrolled bilevel problems: bounded chain growth (~10^k), real
+    # signal from the steps nearest the loss.
+    trunc_bptt: int = 0
 
 
 def _cotangent_clip(tree, c: float):
@@ -122,6 +151,7 @@ def afplus_inner_unrolled(
     inner_eps: float = 0.0,
     precond_detach: bool = False,
     cotangent_clip: float = 0.0,
+    trunc_bptt: int = 0,
 ):
     """Run `iters` AF+ Adam steps, differentiable end-to-end; returns the
     corrected k-space (the training variant without zero_middle)."""
@@ -201,9 +231,20 @@ def afplus_inner_unrolled(
     # optimization either way), but the traced graph is 1 body instead of
     # `iters` copies — the unrolled variant took >40 min to compile on the
     # remote TPU compile service at 320^2.
-    (xs, ys, rot, m), _ = jax.lax.scan(
-        scan_body, (z, z, z, (z,) * 6), None, length=iters
-    )
+    carry = (z, z, z, (z,) * 6)
+    if 0 < trunc_bptt < iters:
+        # Truncated BPTT (AFPlusTrainConfig.trunc_bptt): identical forward,
+        # but the first iters-k steps sit behind a stop_gradient boundary —
+        # no cotangent enters the first scan, so its backward is never
+        # built (cheaper too).
+        carry, _ = jax.lax.scan(
+            scan_body, carry, None, length=iters - trunc_bptt
+        )
+        carry = jax.lax.stop_gradient(carry)
+        carry, _ = jax.lax.scan(scan_body, carry, None, length=trunc_bptt)
+    else:
+        carry, _ = jax.lax.scan(scan_body, carry, None, length=iters)
+    xs, ys, rot, m = carry
     return transform(xs, ys, rot)
 
 
@@ -273,18 +314,37 @@ def make_afplus_trainer(
                 inner_eps=cfg.inner_eps,
                 precond_detach=cfg.precond_detach,
                 cotangent_clip=cfg.cotangent_clip,
+                trunc_bptt=cfg.trunc_bptt,
             )
             out = jnp.abs(ifft2c(yp_ks))[None, None] * 1e4
             tgt = gt_img[None, None] * 1e4
-            return denoiser_loss(out, tgt)
+            # denoiser_loss (reference loss_function) decomposed for
+            # diagnostics: a saturated ssim term (scale
+            # mismatch between the std-normalized AF+ output and the raw-
+            # scale GT) makes the 0.84-weighted term a constant and starves
+            # the outer gradient.
+            l1 = jnp.abs(_minmax(out) - _minmax(tgt)).sum() / out.size
+            if cfg.outer_loss == "norm_ssim":
+                # Scale-aligned variant (AFPlusTrainConfig.outer_loss):
+                # ssim on the same minmax-normalized pair the L1 term uses.
+                ssim_v = _ssim_nonneg_255(
+                    _minmax(tgt), _minmax(out), data_range=1.0
+                )
+            else:
+                ssim_v = _ssim_nonneg_255(tgt, out)
+            loss = (1 - 0.84) * l1 + 0.84 * (1.0 - ssim_v)
+            return loss, (l1, ssim_v)
 
-        loss, grads = jax.value_and_grad(loss_fn)(params)
+        (loss, (l1_v, ssim_v)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(params)
         # Per-sample diagnostics: the NaN rate decides whether the bilevel
         # gradient is healthy (zero_nans turns a NaN sample into a zero
         # update — frequent NaNs mean the run is silently not learning).
         gnorm = optax.global_norm(grads)
         updates, opt_state = opt.update(grads, opt_state, params)
         stats = {"loss": loss, "gnorm": gnorm,
+                 "l1": l1_v, "ssim": ssim_v,
                  "nonfinite": (~jnp.isfinite(gnorm)).astype(jnp.float32)}
         return optax.apply_updates(params, updates), opt_state, stats
 

@@ -52,11 +52,13 @@ def _minmax(x):
     return (x - x.min()) / (x.max() - x.min() + 1e-12)
 
 
-def _ssim_nonneg_255(x, y):
+def _ssim_nonneg_255(x, y, data_range: float = 255.0):
     """pytorch_msssim.ssim defaults: data_range=255, nonnegative clamp.
 
     Implemented via the shared gaussian-window SSIM with the per-window map
-    ReLU'd before averaging (nonnegative_ssim=True semantics)."""
+    ReLU'd before averaging (nonnegative_ssim=True semantics).
+    ``data_range=1.0`` is the scale-aligned variant used by the AF+
+    trainer's "norm_ssim" outer loss on minmax-normalized pairs."""
     # Reuse the valid-window machinery by computing the ssim map manually.
     from miccai24_immoco_tpu.ops.metrics import (
         _filter2d_valid,
@@ -66,7 +68,6 @@ def _ssim_nonneg_255(x, y):
     if x.ndim == 3:  # (B, H, W) -> (B, 1, H, W)
         x = x[:, None]
         y = y[:, None]
-    data_range = 255.0
     xs = x / data_range
     ys = y / data_range
     c1, c2 = 0.01**2, 0.03**2

@@ -96,3 +96,27 @@ def test_cotangent_clip_forward_identical_grad_bounded():
     # The huge-cotangent run is clipped at every boundary: its gradient
     # cannot be 1e12x the unit-scale one.
     assert abs(g_big) < 1e6 * max(abs(g), 1e-12)
+
+
+def test_trunc_bptt_forward_identical_grad_truncated():
+    """trunc_bptt changes ONLY the backward: the inner unroll's output is
+    bit-identical to full-chain, the gradient is finite, and it differs
+    from the full-chain gradient (only the last k steps contribute)."""
+    img = phantom_stack(1, 24, 24, seed=7)[0]
+    ks = fft2c(img)
+
+    def run(w, trunc):
+        metric = lambda x: x * w
+        out = afplus_inner_unrolled(
+            metric, ks, iters=4, oversamp=2, trunc_bptt=trunc
+        )
+        return jnp.abs(out).sum()
+
+    w = jnp.asarray(0.1)
+    assert float(run(w, 0)) == float(run(w, 2))
+    g_full = float(jax.grad(lambda w: run(w, 0))(w))
+    g_t2 = float(jax.grad(lambda w: run(w, 2))(w))
+    assert np.isfinite(g_t2)
+    assert g_t2 != g_full
+    # trunc >= iters falls back to the single full scan.
+    assert float(run(w, 4)) == float(run(w, 0))
