@@ -20,7 +20,7 @@ scale); if trained > untrained, let the run finish.
 
 Usage: python scripts/probe_afplus_signal.py [n=6] [scenario=light]
            [iters=80] [ckpt=artifacts/afplus_full/afplus_rot_detach]
-           [size=320]
+           [size=320] [chans=32] [pools=6]
 
 (size != 320 skips the checkpoint unless it matches the U-Net's trained
 raster — the net is fully convolutional, so any size loads, but trained
@@ -65,13 +65,15 @@ def main():
         else os.path.join("artifacts", "afplus_full", "afplus_rot_detach")
     )
     size = int(sys.argv[5]) if len(sys.argv) > 5 else 320
+    chans = int(sys.argv[6]) if len(sys.argv) > 6 else 32
+    pools = int(sys.argv[7]) if len(sys.argv) > 7 else 6
 
     # Held-out draw: the trainer's corpus uses seed 0 phantoms; probe on a
     # different seed so the comparison is not on memorized slices.
     corpus = _synthetic_corpus(n, size, scenario, seed=7)
 
     net = build_unet(
-        UnetConfig(in_chans=1, out_chans=1, chans=32, num_pool_layers=6,
+        UnetConfig(in_chans=1, out_chans=1, chans=chans, num_pool_layers=pools,
                    norm="instance")
     )
     trained = _unwrap_params(_load_ckpt(ckpt))
