@@ -52,6 +52,20 @@ REGISTRY: Dict[str, str] = {
     "afplus_scaled": os.path.join(
         _ROOT, "artifacts", "afplus_full", "afplus_scaled"
     ),
+    # COMMITTED AF+ metric U-Net at chans 16 / 5 pools (7.8 M params; the
+    # reference's 32/6 net is 124 M = un-committable, and this machine's
+    # disk is wiped between rounds, which destroyed two full-size runs).
+    # Trained with the stabilized bilevel estimator: trunc_bptt=8
+    # hypergradient + precond_detach + per-sample clip + scale-aligned
+    # norm_ssim outer loss (train_afplus.AFPlusTrainConfig rationale
+    # comments; reference recipe train_afplus_original.py:105-212).
+    # Checkpoint metadata records the step count; resume with
+    # `cli train-afplus --chans 16 --pools 5 --stability precond_detach
+    #  --trunc 8 --sample-clip 1.0 --outer-loss norm_ssim
+    #  --resume artifacts/afplus_small/afplus_t8 --out <same>`.
+    "afplus_small": os.path.join(
+        _ROOT, "artifacts", "afplus_small", "afplus_t8"
+    ),
     # ResNet-18 lesion-patch classifier trained from scratch on the
     # synthetic lesion corpus (data/lesions.py; no ImageNet weights exist
     # in-env — see train_classification.ClassifierTrainConfig).

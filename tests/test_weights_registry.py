@@ -23,6 +23,10 @@ COMMITTED = (
     "denoiser_classification",
     "classifier_synthetic",
     "classifier_subtle",
+    # AF+ metric net at the committable 16/5 size (weights.py entry
+    # comment); full checkpoint (params + opt_state + step metadata) so
+    # cross-round resume survives machine resets.
+    "afplus_small",
 )
 
 # Registered but machine-local (documented in weights.py).
