@@ -608,8 +608,15 @@ def cmd_train_afplus(args):
     n = train.shape[0]
 
     def _ckpt(step):
+        # "unet" arch block mirrors the denoiser checkpoints' convention
+        # (cli._load_denoiser) so loaders can rebuild the net from the
+        # checkpoint alone (ADVICE r2 #1).
         save(args.out, {"params": params, "opt_state": opt_state},
-             metadata={"step": step})
+             metadata={"step": step,
+                       "unet": {"in_chans": 1, "out_chans": 1,
+                                "chans": args.chans,
+                                "num_pool_layers": args.pools,
+                                "norm": "instance"}})
 
     nan_count = 0
     for i in range(start, args.steps):
@@ -639,9 +646,20 @@ def cmd_eval_afplus(args):
     from miccai24_immoco_tpu.models.unet import build_unet
     from miccai24_immoco_tpu.config import UnetConfig
 
-    net = build_unet(UnetConfig(in_chans=1, out_chans=1, chans=args.chans,
-                                num_pool_layers=args.pools, norm="instance"))
-    params = _unwrap_params(_load_ckpt(args.ckpt))
+    from miccai24_immoco_tpu.utils.checkpoint import restore_with_meta
+    from miccai24_immoco_tpu.weights import path_of
+
+    tree, meta = restore_with_meta(path_of(args.ckpt))
+    params = _unwrap_params(tree)
+    # Arch resolution: explicit flags > checkpoint "unet" metadata block
+    # (train-afplus writes it) > reference default 32/6
+    # (train_afplus_original.py metric U-Net).
+    arch = meta.get("unet", {})
+    chans = args.chans if args.chans is not None else arch.get("chans", 32)
+    pools = (args.pools if args.pools is not None
+             else arch.get("num_pool_layers", 6))
+    net = build_unet(UnetConfig(in_chans=1, out_chans=1, chans=chans,
+                                num_pool_layers=pools, norm="instance"))
 
     def metric_apply(p, img):
         return net.apply({"params": p}, img[None, :, :, None],
@@ -889,8 +907,11 @@ def build_parser() -> argparse.ArgumentParser:
     common_eval(e)
     e.add_argument("--ckpt", required=True)
     e.add_argument("--iters", type=int, default=80)
-    e.add_argument("--chans", type=int, default=32)
-    e.add_argument("--pools", type=int, default=6)
+    # None -> read the arch from the checkpoint's "unet" metadata block
+    # (train-afplus writes it); explicit values override for legacy
+    # params-only checkpoints (reference default arch is 32/6).
+    e.add_argument("--chans", type=int, default=None)
+    e.add_argument("--pools", type=int, default=None)
     e.set_defaults(fn=cmd_eval_afplus)
 
     e = sub.add_parser("paper-figure")

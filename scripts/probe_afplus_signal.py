@@ -59,14 +59,17 @@ def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 6
     scenario = sys.argv[2] if len(sys.argv) > 2 else "light"
     iters = int(sys.argv[3]) if len(sys.argv) > 3 else 80
+    # Default = the COMMITTED registry entry (ADVICE r2 #2: the old
+    # afplus_full default was gitignored and lost to the between-round
+    # disk wipe; a no-arg invocation must work on a fresh clone).
     ckpt = (
         sys.argv[4]
         if len(sys.argv) > 4
-        else os.path.join("artifacts", "afplus_full", "afplus_rot_detach")
+        else os.path.join("artifacts", "afplus_small", "afplus_t8")
     )
     size = int(sys.argv[5]) if len(sys.argv) > 5 else 320
-    chans = int(sys.argv[6]) if len(sys.argv) > 6 else 32
-    pools = int(sys.argv[7]) if len(sys.argv) > 7 else 6
+    chans = int(sys.argv[6]) if len(sys.argv) > 6 else 16
+    pools = int(sys.argv[7]) if len(sys.argv) > 7 else 5
 
     # Held-out draw: the trainer's corpus uses seed 0 phantoms; probe on a
     # different seed so the comparison is not on memorized slices.

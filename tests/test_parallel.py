@@ -221,6 +221,46 @@ def test_tp_hash_encode_gradients_flow():
                                rtol=1e-4, atol=1e-6)
 
 
+def test_tp2_fit_matches_tp1_bench_default_phase_sequence():
+    """VERDICT r2 weak #4: the production (bench-default) phase sequence —
+    coarse_schedule pyramid + coarse motion lattice + duty-cycled joint
+    span + motion-frozen tail (with its frozen-weights precompute,
+    models/immoco.frozen_warp_weights) — under a dp x tp mesh must match
+    the tp=1 run numerically."""
+    import dataclasses
+
+    # 48-px raster: the frozen tiled weights need h, w >= 3 * tile_px
+    # (ops/warp_mm.bilinear_weights_tiled).
+    ksp, masks = _batch(hw=48)
+    cfg = dataclasses.replace(
+        small_cfg(iters=12),
+        motion_res_factor=2,
+        coarse_schedule=((3, 16),),
+        motion_duty=(2, 2),
+        motion_freeze_iters=3,
+        # Frozen tiled weights require the displacement bound
+        # (frozen_warp_weights validity condition).
+        motion_disp_px=10.0,
+        motion_freeze_tile_px=16,
+    )
+    r_tp2 = batched_motion_correct(
+        ksp, masks, cfg, mesh=make_mesh(MeshConfig(dp=4, tp=2))
+    )
+    r_tp1 = batched_motion_correct(
+        ksp, masks, cfg, mesh=make_mesh(MeshConfig(dp=8, tp=1))
+    )
+    np.testing.assert_allclose(
+        np.asarray(r_tp2.losses), np.asarray(r_tp1.losses), rtol=1e-4,
+        atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(jnp.abs(r_tp2.image)),
+        np.asarray(jnp.abs(r_tp1.image)),
+        rtol=1e-4,
+        atol=1e-4,
+    )
+
+
 def test_tp2_fit_bit_matches_tp1_with_coarse_motion_lattice():
     """motion_res_factor=2 threads the upsample matrices through statics;
     the tp path must stay numerically identical to tp=1 with them."""
