@@ -131,6 +131,9 @@ def main():
             if os.environ.get("BENCH_DUTY")
             else ()
         ),
+        # Plain joint iterations before duty cycling begins
+        # (BENCH_DUTY_START=K; config.py motion_duty_start rationale).
+        motion_duty_start=int(os.environ.get("BENCH_DUTY_START", "0")),
         # Coarse-to-fine: BENCH_C2F iterations against the center-cropped
         # k-space on a BENCH_CSIZE^2 raster first (0 = off), or a
         # '+'-separated pyramid (config.py coarse_schedule).  Default

@@ -97,7 +97,8 @@ def _get_corpus(args, scenario: str):
         return load_test_corpus(
             os.path.join(corpus_dir, f"_test_data_{scenario}.npz")
         )
-    return _synthetic_corpus(args.synthetic, args.size, scenario)
+    return _synthetic_corpus(args.synthetic, args.size, scenario,
+                             seed=getattr(args, "seed", 0))
 
 
 def cmd_prepare_data(args):
@@ -794,6 +795,12 @@ def build_parser() -> argparse.ArgumentParser:
     def common_eval(sp):
         sp.add_argument("--corpus", help="dir with _test_data_{scenario}.npz")
         sp.add_argument("--synthetic", type=int, default=8)
+        # Synthetic-corpus PRNG seed.  The protocol corpora (e2e_round*
+        # artifacts, scripts/e2e_eval.py) are frozen at seed 2024 — pass
+        # --seed 2024 so every method of the comparison table evaluates the
+        # SAME corrupted slices (reference src/test/* all share the frozen
+        # _test_data_{scenario} files).
+        sp.add_argument("--seed", type=int, default=0)
         sp.add_argument("--size", type=int, default=320)
         sp.add_argument("--scenarios", default="light,heavy")
         sp.add_argument("--limit", type=int)

@@ -285,6 +285,14 @@ class InstanceFitConfig:
     # rate while most iterations run at the ~1.8x-cheaper frozen step;
     # compose with motion_freeze_iters for a fully-frozen tail.
     motion_duty: Tuple[int, int] = ()
+    # Plain joint iterations at the START of the full-res joint span before
+    # duty cycling begins (only meaningful with motion_duty).  Rationale
+    # (VERDICT r2 next#1): the measured light-duty ssim cost (~0.004,
+    # PERFORMANCE.md duty table) comes from starving the motion fit right
+    # after the c2f hand-off — the early full-res iterations need every
+    # motion update, while the late ones (lambda tail -> pure DC) tolerate
+    # a reduced duty rate.  duty_start delays cycling past that window.
+    motion_duty_start: int = 0
 
 
 @dataclasses.dataclass(frozen=True)

@@ -420,6 +420,7 @@ def run_autofocusing(
         lambda ind: extract_movement_groups(ind, h, cfg.max_movements)
     )
 
+    gt_clean_all = corpus.get("image_clean")
     metrics = []
     for i in range(n):
         ksp = put_complex(ks_all[i])
@@ -430,7 +431,11 @@ def run_autofocusing(
         )
         masks, _ = groups(ind)
         result = fit(ksp, masks)
-        metrics.append(_metrics_dict(result.image, gt))
+        m = _metrics_dict(result.image, gt)
+        if gt_clean_all is not None:
+            m.update({f"{k}_clean": v for k, v in _metrics_dict(
+                result.image, put_complex(gt_clean_all[i])).items()})
+        metrics.append(m)
     return metrics
 
 
@@ -458,10 +463,15 @@ def run_afplus(
         call = lambda k: fit_p(k, params)
     else:
         call = jax.jit(make_afplus_fit(metric_fn, cfg))
+    gt_clean_all = corpus.get("image_clean")
     metrics = []
     for i in range(n):
         result = call(put_complex(ks_all[i]))
-        metrics.append(_metrics_dict(result.image, put_complex(gt_all[i])))
+        m = _metrics_dict(result.image, put_complex(gt_all[i]))
+        if gt_clean_all is not None:
+            m.update({f"{k}_clean": v for k, v in _metrics_dict(
+                result.image, put_complex(gt_clean_all[i])).items()})
+        metrics.append(m)
     return metrics
 
 
@@ -471,10 +481,15 @@ def run_denoiser(corpus: dict, net, params, limit: Optional[int] = None):
     ks_all = corpus["kspace_motion"]
     gt_all = corpus["image_rss"]
     n = ks_all.shape[0] if limit is None else min(limit, ks_all.shape[0])
+    gt_clean_all = corpus.get("image_clean")
     metrics = []
     for i in range(n):
         out = denoise(net, params, put_complex(ks_all[i])[None])[0]
-        metrics.append(_metrics_dict(out, put_complex(gt_all[i])))
+        m = _metrics_dict(out, put_complex(gt_all[i]))
+        if gt_clean_all is not None:
+            m.update({f"{k}_clean": v for k, v in _metrics_dict(
+                out, put_complex(gt_clean_all[i])).items()})
+        metrics.append(m)
     return metrics
 
 

@@ -514,8 +514,15 @@ def phase_spans(cfg: InstanceFitConfig):
                 # alternate j joint iterations with f motion-frozen ones.
                 # Always starts AND ends with a joint sub-span so the
                 # motion field is fresh entering the frozen tail.
+                # cfg.motion_duty_start plain joint iterations run first
+                # (late-start duty — the early full-res iterations need
+                # every motion update, config.py rationale).
                 j, f = (max(int(v), 1) for v in cfg.motion_duty)
                 t = s
+                lead = min(max(int(cfg.motion_duty_start), 0), joint_end - t)
+                if lead:
+                    spans.append((t, t + lead, -1))
+                    t += lead
                 while t < joint_end:
                     if t + j + f >= joint_end:
                         # No room for a full cycle plus a trailing joint

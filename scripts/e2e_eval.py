@@ -99,6 +99,7 @@ def main():
                 if os.environ.get("E2E_DUTY")
                 else ()
             ),
+            motion_duty_start=int(os.environ.get("E2E_DUTY_START", "0")),
             # Identity-column recentering gate (config.recenter_max_px):
             # undoes the degenerate common-mode shift when a movement band
             # owns the k-space center (ops/recenter.py).
@@ -146,6 +147,7 @@ def main():
                 "coarse_schedule": list(map(list, cfg.coarse_schedule)),
                 "motion_freeze_iters": cfg.motion_freeze_iters,
                 "motion_duty": list(cfg.motion_duty),
+                "motion_duty_start": cfg.motion_duty_start,
                 "recenter_max_px": cfg.recenter_max_px,
             },
         }
@@ -157,14 +159,18 @@ def main():
             }
             import json as _json
 
-            os.makedirs("results/e2e", exist_ok=True)
-            with open(f"results/e2e/diags_{scenario}.json", "w") as f:
+            _dout = os.environ.get("E2E_OUT", "results/e2e")
+            os.makedirs(_dout, exist_ok=True)
+            with open(f"{_dout}/diags_{scenario}.json", "w") as f:
                 _json.dump(diags, f, indent=2)
         print(scenario, "corrected:", aggregate(metrics), flush=True)
         print(scenario, "corrupted:", aggregate(per_scenario_corrupt[scenario]),
               flush=True)
 
-    out_dir = "results/e2e"
+    # E2E_OUT: report directory override — lets per-scenario tuned configs
+    # run as separate invocations (different env knobs) and merge into one
+    # artifact dir afterwards (round-3 protocol run, VERDICT r2 next#2).
+    out_dir = os.environ.get("E2E_OUT", "results/e2e")
     save_report(per_scenario, out_dir, "immoco")
     save_report(per_scenario_corrupt, out_dir, "corrupted_baseline")
     import json as _json

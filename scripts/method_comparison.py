@@ -1,0 +1,218 @@
+"""Four-method protocol comparison on the frozen seed-2024 corpora.
+
+The reference evaluates IM-MoCo, Autofocusing, AF+ and the U-Net denoiser
+on the same 2x50 frozen corpora (src/test/test_immoco.py,
+test_autofocusing.py, test_afplus_original.py, test_unet_denoiser.py) and
+composes the all-methods comparison figure (paper_visualizations.ipynb).
+This script produces the analog in one artifact dir (VERDICT r2 next#4):
+
+  - runs Autofocusing, AF+ (committed metric net) and the U-Net denoiser
+    on the SAME synthetic seed-2024 corpora the e2e protocol artifact was
+    produced on,
+  - merges the IM-MoCo + corrupted rows from an existing e2e report dir
+    (the expensive fits are not re-run),
+  - emits combined.json / combined.tex with 5 rows x 2 scenarios, and
+  - renders the method-comparison figure (SSIM/PSNR insets + error maps)
+    on the median-immoco-SSIM heavy sample.
+
+Usage: python scripts/method_comparison.py [n=50] [e2e_dir] [out_dir]
+Env: MC_SCENARIOS=light,heavy  MC_AFPLUS_CKPT=afplus_small
+     MC_DENOISER=denoiser_full  MC_AF_ITERS / MC_AFP_ITERS (default 80)
+     MC_FIGURE=1 (render the figure; needs one heavy IM-MoCo fit)
+"""
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from miccai24_immoco_tpu.utils.compile_cache import enable_compile_cache
+
+enable_compile_cache()
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def _load_report(path):
+    with open(path) as f:
+        return json.load(f)
+
+
+def main():
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 50
+    e2e_dir = sys.argv[2] if len(sys.argv) > 2 else "results/e2e_round3"
+    out_dir = sys.argv[3] if len(sys.argv) > 3 else "results/method_comparison"
+    scenarios = os.environ.get("MC_SCENARIOS", "light,heavy").split(",")
+    os.makedirs(out_dir, exist_ok=True)
+
+    from miccai24_immoco_tpu import weights
+    from miccai24_immoco_tpu.cli import _load_denoiser, _synthetic_corpus
+    from miccai24_immoco_tpu.config import AFPlusConfig, AutofocusingConfig
+    from miccai24_immoco_tpu.eval.harness import aggregate, latex_table
+    from miccai24_immoco_tpu.eval.runners import (
+        run_afplus,
+        run_autofocusing,
+        run_denoiser,
+    )
+    from miccai24_immoco_tpu.models.unet import build_unet
+    from miccai24_immoco_tpu.config import UnetConfig
+    from miccai24_immoco_tpu.utils.checkpoint import restore_with_meta
+
+    kld_name = weights.best_kld_name()
+    kld = weights.load_kld(kld_name)
+
+    # AF+ metric net from the committed registry checkpoint (arch from the
+    # checkpoint's "unet" metadata block).
+    afp_name = os.environ.get("MC_AFPLUS_CKPT", "afplus_small")
+    tree, meta = restore_with_meta(weights.path_of(afp_name))
+    afp_params = tree["params"] if isinstance(tree, dict) and "params" in tree else tree
+    arch = meta.get("unet", {})
+    afp_net = build_unet(UnetConfig(
+        in_chans=1, out_chans=1, chans=arch.get("chans", 16),
+        num_pool_layers=arch.get("num_pool_layers", 5), norm="instance"))
+
+    def metric_apply(p, img):
+        return afp_net.apply({"params": p}, img[None, :, :, None],
+                             train=False)[0, :, :, 0]
+
+    den_net, den_params = _load_denoiser(
+        os.environ.get("MC_DENOISER", "denoiser_full"))
+
+    af_iters = int(os.environ.get("MC_AF_ITERS", "80"))
+    afp_iters = int(os.environ.get("MC_AFP_ITERS", "80"))
+
+    per_method = {}  # method -> scenario -> per_slice list
+    for scenario in scenarios:
+        corpus = _synthetic_corpus(n, 320, scenario, seed=2024)
+        import time as _t
+
+        t0 = _t.time()
+        af = run_autofocusing(
+            corpus, cfg=AutofocusingConfig(iters=af_iters), kld=kld, limit=n)
+        t1 = _t.time()
+        print(f"{scenario} autofocusing: {(t1-t0)/n:.2f} s/slice", flush=True)
+        afp = run_afplus(
+            corpus, cfg=AFPlusConfig(iters=afp_iters), limit=n,
+            metric_apply=metric_apply, params=afp_params)
+        t2 = _t.time()
+        print(f"{scenario} af+: {(t2-t1)/n:.2f} s/slice", flush=True)
+        den = run_denoiser(corpus, den_net, den_params, limit=n)
+        t3 = _t.time()
+        print(f"{scenario} denoiser: {(t3-t2)/n:.2f} s/slice", flush=True)
+        per_method.setdefault("autofocusing", {})[scenario] = af
+        per_method.setdefault("af_plus", {})[scenario] = afp
+        per_method.setdefault("unet_denoiser", {})[scenario] = den
+
+    # IM-MoCo + corrupted rows from the e2e report dir (same seed-2024
+    # corpus — scripts/e2e_eval.py).
+    immoco = _load_report(os.path.join(e2e_dir, "immoco.json"))
+    corrupted = _load_report(os.path.join(e2e_dir, "corrupted_baseline.json"))
+    for scenario in scenarios:
+        per_method.setdefault("immoco", {})[scenario] = (
+            immoco[scenario]["per_slice"][:n])
+        per_method.setdefault("corrupted", {})[scenario] = (
+            corrupted[scenario]["per_slice"][:n])
+
+    order = ["corrupted", "unet_denoiser", "autofocusing", "af_plus", "immoco"]
+    combined = {
+        m: {s: aggregate(per_method[m][s]) for s in scenarios} for m in order
+    }
+    payload = {
+        "n": n,
+        "corpus": "synthetic seed-2024 (the e2e protocol corpora)",
+        "afplus_ckpt": {"name": afp_name, "step": meta.get("step")},
+        "aggregate": combined,
+        "per_slice": {m: per_method[m] for m in order},
+    }
+    with open(os.path.join(out_dir, "combined.json"), "w") as f:
+        json.dump(payload, f, indent=2)
+
+    # One LaTeX table per scenario with the 5 method rows (the paper's
+    # headline-table shape: methods x metrics).
+    tex = []
+    for scenario in scenarios:
+        tex.append(latex_table(
+            {m: per_method[m][scenario] for m in order},
+            f"method comparison ({scenario}, n={n}, seed-2024 corpus)",
+            f"method_comparison_{scenario}",
+        ))
+    with open(os.path.join(out_dir, "combined.tex"), "w") as f:
+        f.write("\n\n".join(tex))
+    print(json.dumps({m: {s: {k: round(v["mean"], 4)
+                              for k, v in combined[m][s].items()
+                              if k in ("ssim", "psnr", "haar_psi")}
+                          for s in scenarios} for m in order}, indent=2))
+
+    if os.environ.get("MC_FIGURE", "1") == "1" and "heavy" in scenarios:
+        _figure(per_method, n, out_dir, kld, metric_apply, afp_params,
+                den_net, den_params, af_iters, afp_iters)
+    print("artifact in", out_dir, flush=True)
+
+
+def _figure(per_method, n, out_dir, kld, metric_apply, afp_params,
+            den_net, den_params, af_iters, afp_iters):
+    """All-methods panel figure on the median-immoco-SSIM heavy sample
+    (paper_visualizations.ipynb composition)."""
+    from miccai24_immoco_tpu.cli import _synthetic_corpus
+    from miccai24_immoco_tpu.config import (
+        AFPlusConfig,
+        AutofocusingConfig,
+        InstanceFitConfig,
+    )
+    from miccai24_immoco_tpu.eval.figures import method_comparison_figure
+    from miccai24_immoco_tpu.eval.runners import _line_indicators, _make_indicator_fn
+    from miccai24_immoco_tpu.models.af_plus import make_afplus_fit_p
+    from miccai24_immoco_tpu.models.autofocusing import make_autofocus_fit
+    from miccai24_immoco_tpu.models.immoco import motion_correct
+    from miccai24_immoco_tpu.ops.fft import ifft2c
+    from miccai24_immoco_tpu.ops.masks import extract_movement_groups
+    from miccai24_immoco_tpu.train.train_denoiser import denoise
+    from miccai24_immoco_tpu.utils.hostio import get_complex, put_complex
+
+    ssims = [m["ssim"] for m in per_method["immoco"]["heavy"]]
+    idx = int(np.argsort(ssims)[len(ssims) // 2])
+    corpus = _synthetic_corpus(n, 320, "heavy", seed=2024)
+    ksp = put_complex(corpus["kspace_motion"][idx])
+    gt = np.abs(corpus["image_rss"][idx])
+
+    indicator_fn = _make_indicator_fn(kld)
+    ind = _line_indicators(ksp, None, kld, indicator_fn)
+    masks18, _ = extract_movement_groups(ind, 320, 18)
+
+    # Tuned heavy production config (PERFORMANCE.md heavy recipe).
+    cfg = InstanceFitConfig(
+        iters=200, max_movements=18, motion_disp_px=30,
+        warp_impl="pallas_tiled", compute_dtype="bfloat16",
+        motion_res_factor=4, coarse_iters=50, coarse_size=256,
+        motion_freeze_iters=50, motion_duty=(10, 10),
+    )
+    r = motion_correct(ksp, masks18, cfg, segment_len=50)
+
+    af = jax.jit(make_autofocus_fit(AutofocusingConfig(iters=af_iters)))(
+        ksp, masks18)
+    afp = jax.jit(make_afplus_fit_p(metric_apply, AFPlusConfig(
+        iters=afp_iters)))(ksp, afp_params)
+    den = denoise(den_net, den_params, ksp[None])[0]
+
+    methods = {
+        "Corrupted": get_complex(ifft2c(ksp)),
+        "U-Net denoiser": np.asarray(jnp.abs(den)),
+        "Autofocusing": get_complex(af.image),
+        "AF+": get_complex(afp.image),
+        "IM-MoCo": get_complex(r.image),
+    }
+    out = os.path.join(out_dir, "method_comparison_heavy_median.png")
+    scores = method_comparison_figure(
+        gt, methods, out,
+        title=f"heavy sample {idx} (median IM-MoCo SSIM)")
+    with open(os.path.join(out_dir, "figure_scores.json"), "w") as f:
+        json.dump({"index": idx, "scores": scores}, f, indent=2)
+    print("figure saved:", out, flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -136,6 +136,45 @@ def test_phase_spans_with_duty():
         assert all(a[1] == b[0] for a, b in zip(spans, spans[1:]))
 
 
+def test_phase_spans_with_duty_start():
+    # motion_duty_start=4: four plain joint iterations lead the span, duty
+    # cycling starts after them.
+    cfg = _freeze_cfg(iters=16, freeze=2, motion_duty=(2, 3),
+                      motion_duty_start=4)
+    spans = phase_spans(cfg)
+    assert spans[0] == (0, 4, -1)
+    assert spans[1] == (4, 6, -1) and spans[2] == (6, 9, -2)
+    assert spans[-1] == (14, 16, -2)  # frozen tail intact
+    assert spans[0][0] == 0 and spans[-1][1] == cfg.iters
+    assert all(a[1] == b[0] for a, b in zip(spans, spans[1:]))
+    # duty_start >= joint span -> pure joint (no cycling), tail intact.
+    cfg = _freeze_cfg(iters=12, freeze=2, motion_duty=(2, 3),
+                      motion_duty_start=50)
+    assert phase_spans(cfg) == [(0, 10, -1), (10, 12, -2)]
+    # duty_start without duty is a no-op (reference parity).
+    cfg = _freeze_cfg(iters=12, freeze=0, motion_duty=(), motion_duty_start=5)
+    assert phase_spans(cfg) == [(0, 12, -1)]
+
+
+def test_duty_start_segmented_matches_single_graph():
+    cfg = _freeze_cfg(iters=14, freeze=2, motion_duty=(2, 2),
+                      motion_duty_start=3)
+    kspace, masks = _problem()
+    key = jax.random.PRNGKey(0)
+    model = build_immoco(cfg, 48, 48)
+    one = jax.jit(make_instance_fit(model))(kspace, masks, key, model.statics)
+    seg = make_segmented_fit(model, segment_len=4)(
+        kspace, masks, key, model.statics
+    )
+    np.testing.assert_allclose(
+        np.asarray(one.losses), np.asarray(seg.losses), rtol=2e-3, atol=1e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(jnp.abs(one.image)), np.asarray(jnp.abs(seg.image)),
+        rtol=2e-3, atol=1e-3,
+    )
+
+
 def test_duty_segmented_matches_single_graph():
     cfg = _freeze_cfg(iters=12, freeze=3, motion_duty=(2, 2))
     kspace, masks = _problem()
