@@ -236,6 +236,19 @@ class InstanceFitConfig:
     # displacement is inert when real ghosts drive the data term but
     # collapses spurious motion on still groups.
     lambda_motion: float = 0.0
+    # Anneal fraction for lambda_motion (0.0 = constant weight).  With
+    # f > 0, the motion-L2 weight decays LINEARLY from lambda_motion at
+    # iteration 0 to exactly 0 at floor(f * iters), and stays 0 after —
+    # "start rigidly, then release".  Rationale (VERDICT r2 next#5 +
+    # PERFORMANCE.md probe_motion_reg): the degenerate heavy-tail basin
+    # (uniform ~7 px spurious displacement) is entered EARLY; the
+    # lambda -> inf limit (motion pinned to ~0, INR-inpainting + DC)
+    # beats the basin on every measured tail slice, but a CONSTANT
+    # penalty can't be released once the fit escapes.  Annealing holds
+    # motion near zero through the basin-forming iterations and then
+    # hands the landscape back to the unregularized fit (reference
+    # parity for the tail of the schedule).
+    lambda_motion_anneal_frac: float = 0.0
     # Motion-gated hard data consistency in pixels (deliberate divergence,
     # 0.0 = gate off; requires dc_replace): movement groups whose FITTED
     # mean |displacement| falls below this threshold are treated as

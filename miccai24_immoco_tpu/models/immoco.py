@@ -82,14 +82,35 @@ def ema_schedule(cfg: InstanceFitConfig) -> np.ndarray:
     return betas
 
 
+def use_lam_motion_col(cfg: InstanceFitConfig) -> bool:
+    """True when the motion-L2 weight is per-iteration scheduled (an extra
+    fit_schedule column) instead of the constant cfg.lambda_motion."""
+    return cfg.lambda_motion > 0 and cfg.lambda_motion_anneal_frac > 0
+
+
+def lambda_motion_schedule(cfg: InstanceFitConfig) -> np.ndarray:
+    """(iters,) per-iteration motion-L2 weight: linear decay from
+    cfg.lambda_motion to 0 at floor(anneal_frac * iters), 0 after
+    (config.py lambda_motion_anneal_frac rationale)."""
+    end = max(int(cfg.lambda_motion_anneal_frac * cfg.iters), 1)
+    i = np.arange(cfg.iters, dtype=np.float32)
+    return cfg.lambda_motion * np.clip(1.0 - i / end, 0.0, 1.0)
+
+
 def fit_schedule(cfg: InstanceFitConfig) -> np.ndarray:
     """Per-iteration scanned schedule: (iters,) lambda array at reference
-    parity, or (iters, 2) [lambda, ema_beta] columns when cfg.ema_decay > 0.
-    Row-sliceable by segment either way."""
-    lam = lambda_schedule(cfg)
+    parity, or (iters, k) columns [lambda, ema_beta?, lambda_motion?] when
+    cfg.ema_decay > 0 / use_lam_motion_col(cfg).  Row-sliceable by segment
+    either way; the lambda_motion column is always LAST (the scan step
+    reads x[-1])."""
+    cols = [lambda_schedule(cfg)]
     if cfg.ema_decay > 0:
-        return np.stack([lam, ema_schedule(cfg)], axis=1)
-    return lam
+        cols.append(ema_schedule(cfg))
+    if use_lam_motion_col(cfg):
+        cols.append(lambda_motion_schedule(cfg))
+    if len(cols) == 1:
+        return cols[0]
+    return np.stack(cols, axis=1)
 
 
 def coarse_phases(cfg: InstanceFitConfig) -> Tuple[Tuple[int, int], ...]:
@@ -639,15 +660,18 @@ def _joint_loss(cfg, fwd_model, k_target, masks, st):
     (+ optional displacement L2) — the one loss every fit variant optimizes
     (reference immoco.py:145-176)."""
 
-    def loss_fn(p, lam):
+    def loss_fn(p, lam, lam_m=None):
         if cfg.lambda_motion > 0:
             k_out, image, mot = fwd_model.forward(
                 p, masks, st, with_motion=True
             )
+            # lam_m: per-iteration annealed weight (fit_schedule column,
+            # config.py lambda_motion_anneal_frac); None = constant.
+            w = cfg.lambda_motion if lam_m is None else lam_m
             return (
                 real_pair_mse(k_out, k_target)
                 + lam * gradient_entropy(image)
-                + cfg.lambda_motion * mot["l2"]
+                + w * mot["l2"]
             )
         k_out, image = fwd_model.forward(p, masks, st)
         return real_pair_mse(k_out, k_target) + lam * gradient_entropy(image)
@@ -660,7 +684,8 @@ def _frozen_loss(model, wts, k_in, masks, statics):
     precomputed tiled weights.  The lambda_motion term is constant here
     (motion fixed) so it is omitted — its gradient is zero either way."""
 
-    def loss_fn(p_img, lam):
+    def loss_fn(p_img, lam, lam_m=None):
+        del lam_m  # motion fixed -> the annealed term is a constant
         k_out, image = model.forward_frozen(p_img, wts, masks, statics)
         return real_pair_mse(k_out, k_in) + lam * gradient_entropy(image)
 
@@ -668,12 +693,13 @@ def _frozen_loss(model, wts, k_in, masks, statics):
 
 
 def _make_scan_step(opt, loss_fn, use_ema, cp=lambda p: p,
-                    freeze_motion=False):
+                    freeze_motion=False, use_lam_motion=False):
     """The one Adam/EMA scan-step body shared by every fit variant
     (single-scan and segmented, joint/coarse/frozen phases) — four hand-
     maintained copies of this had already drifted subtly.
 
-    carry = (params, opt_state[, ema]); x = lam or [lam, ema_beta].
+    carry = (params, opt_state[, ema]); x = lam or the fit_schedule row
+    [lam, ema_beta?, lam_motion?] (use_lam_motion reads x[-1]).
     ``cp``: sharding-constraint hook re-applied after each update
     (parallel/sharded_fit.tp_constraints; identity otherwise).
     ``freeze_motion``: gradients taken for params["image"] only, and the
@@ -684,15 +710,20 @@ def _make_scan_step(opt, loss_fn, use_ema, cp=lambda p: p,
     def step(carry, x):
         if use_ema:
             p, s, e = carry
-            lam, beta = x[0], x[1]
         else:
             p, s = carry
+        if use_ema or use_lam_motion:
+            lam = x[0]
+            beta = x[1] if use_ema else None
+            lam_m = x[-1] if use_lam_motion else None
+        else:
             lam = x
+            lam_m = None
         if freeze_motion:
-            loss, g_img = jax.value_and_grad(loss_fn)(p["image"], lam)
+            loss, g_img = jax.value_and_grad(loss_fn)(p["image"], lam, lam_m)
             grads = {"image": g_img, "motion": zeros_like(p["motion"])}
         else:
-            loss, grads = jax.value_and_grad(loss_fn)(p, lam)
+            loss, grads = jax.value_and_grad(loss_fn)(p, lam, lam_m)
         updates, s = opt.update(grads, s)
         if freeze_motion:
             updates = {
@@ -744,6 +775,7 @@ def make_instance_fit(
             )
         phase_scheds.append((pi, jnp.asarray(seg)))
     use_ema = cfg.ema_decay > 0
+    use_lm = use_lam_motion_col(cfg)
     opt = optax.adam(cfg.learning_rate, b1=cfg.b1, b2=cfg.b2, eps=cfg.eps)
     cp = constrain_params or (lambda p: p)
     cm = constrain_masks or (lambda m: m)
@@ -765,18 +797,21 @@ def make_instance_fit(
                 cmod = model.coarse_levels[pi]
                 k_p, m_p = _coarse_crop(model, cmod, k_in, masks)
                 loss_fn = _joint_loss(cfg, cmod, k_p, m_p, statics[f"coarse{pi}"])
-                step = _make_scan_step(opt, loss_fn, use_ema, cp=cp)
+                step = _make_scan_step(opt, loss_fn, use_ema, cp=cp,
+                                       use_lam_motion=use_lm)
             elif pi == -2:
                 # Weights built once from the phase-entry motion params —
                 # hoisted out of the scan by construction.
                 wts = model.frozen_warp_weights(carry[0], masks, statics)
                 loss_fn = _frozen_loss(model, wts, k_in, masks, statics)
                 step = _make_scan_step(
-                    opt, loss_fn, use_ema, cp=cp, freeze_motion=True
+                    opt, loss_fn, use_ema, cp=cp, freeze_motion=True,
+                    use_lam_motion=use_lm,
                 )
             else:
                 loss_fn = _joint_loss(cfg, model, k_in, masks, statics)
-                step = _make_scan_step(opt, loss_fn, use_ema, cp=cp)
+                step = _make_scan_step(opt, loss_fn, use_ema, cp=cp,
+                                       use_lam_motion=use_lm)
             carry, l_p = jax.lax.scan(step, carry, sched_p)
             loss_segs.append(l_p)
         losses = (
@@ -916,6 +951,7 @@ def make_segmented_fit(model: IMMoCoModel, segment_len: int = 25):
     """
     cfg = model.cfg
     use_ema = cfg.ema_decay > 0
+    use_lm = use_lam_motion_col(cfg)
     opt = optax.adam(cfg.learning_rate, b1=cfg.b1, b2=cfg.b2, eps=cfg.eps)
 
     @jax.jit
@@ -942,7 +978,8 @@ def make_segmented_fit(model: IMMoCoModel, segment_len: int = 25):
                 st = statics
 
             step = _make_scan_step(
-                opt, _joint_loss(cfg, fwd_model, k_in, masks, st), use_ema
+                opt, _joint_loss(cfg, fwd_model, k_in, masks, st), use_ema,
+                use_lam_motion=use_lm,
             )
             carry0 = ((params["p"], opt_state, params["e"]) if use_ema
                       else (params, opt_state))
@@ -968,7 +1005,7 @@ def make_segmented_fit(model: IMMoCoModel, segment_len: int = 25):
 
             step = _make_scan_step(
                 opt, _frozen_loss(model, wts, k_in, masks, statics), use_ema,
-                freeze_motion=True,
+                freeze_motion=True, use_lam_motion=use_lm,
             )
             carry0 = ((params["p"], opt_state, params["e"]) if use_ema
                       else (params, opt_state))

@@ -100,6 +100,12 @@ def main():
                 else ()
             ),
             motion_duty_start=int(os.environ.get("E2E_DUTY_START", "0")),
+            # Annealed displacement-L2 (config.py lambda_motion_anneal_frac
+            # rationale): E2E_LM=10000 E2E_LM_ANNEAL=0.3 pins motion ~0
+            # through the basin-forming early iterations, then releases.
+            lambda_motion=float(os.environ.get("E2E_LM", "0")),
+            lambda_motion_anneal_frac=float(
+                os.environ.get("E2E_LM_ANNEAL", "0")),
             # Identity-column recentering gate (config.recenter_max_px):
             # undoes the degenerate common-mode shift when a movement band
             # owns the k-space center (ops/recenter.py).
@@ -148,6 +154,8 @@ def main():
                 "motion_freeze_iters": cfg.motion_freeze_iters,
                 "motion_duty": list(cfg.motion_duty),
                 "motion_duty_start": cfg.motion_duty_start,
+                "lambda_motion": cfg.lambda_motion,
+                "lambda_motion_anneal_frac": cfg.lambda_motion_anneal_frac,
                 "recenter_max_px": cfg.recenter_max_px,
             },
         }

@@ -125,6 +125,63 @@ def test_lambda_motion_shrinks_fitted_displacement():
     assert d1 < 0.5 * d0, (d0, d1)
 
 
+def test_lambda_motion_anneal_schedule_column():
+    from miccai24_immoco_tpu.models.immoco import (
+        lambda_motion_schedule,
+        use_lam_motion_col,
+    )
+
+    cfg = _cfg(iters=40, lambda_motion=100.0, lambda_motion_anneal_frac=0.5)
+    assert use_lam_motion_col(cfg)
+    lm = lambda_motion_schedule(cfg)
+    assert lm.shape == (40,)
+    assert lm[0] == 100.0 and lm[20] == 0.0 and lm[-1] == 0.0
+    assert np.all(np.diff(lm) <= 0)  # monotone decay
+    sched = fit_schedule(cfg)
+    assert sched.shape == (40, 2)  # [lambda, lambda_motion] columns
+    np.testing.assert_allclose(sched[:, 1], lm)
+    # Anneal off -> 1-D schedule (reference-parity shape).
+    assert fit_schedule(_cfg(iters=40, lambda_motion=100.0)).ndim == 1
+    # Anneal without a lambda_motion weight is inert.
+    assert not use_lam_motion_col(_cfg(lambda_motion_anneal_frac=0.5))
+
+
+def test_lambda_motion_anneal_releases_vs_constant():
+    """The annealed fit must pin displacement early but NOT at the end:
+    final displacement sits between the constant-high and unregularized
+    fits."""
+    kspace, masks = _corrupted()
+    model0, p0 = _fit_params(_cfg(lambda_motion=0.0), kspace, masks)
+    modelc, pc = _fit_params(_cfg(lambda_motion=1e3), kspace, masks)
+    modela, pa = _fit_params(
+        _cfg(lambda_motion=1e3, lambda_motion_anneal_frac=0.5), kspace, masks
+    )
+    d0 = _mean_px(model0, p0, masks)
+    dc = _mean_px(modelc, pc, masks)
+    da = _mean_px(modela, pa, masks)
+    assert dc < da, (dc, da)  # release lets motion regrow vs constant
+    assert da < d0, (da, d0)  # but the early pin still shapes the fit
+
+
+def test_segmented_matches_single_with_lambda_motion_anneal():
+    kspace, masks = _corrupted()
+    cfg = _cfg(iters=20, lambda_motion=50.0, lambda_motion_anneal_frac=0.6)
+    model = build_immoco(cfg, 64, 64)
+    res_single = make_instance_fit(model)(
+        kspace, masks, jax.random.PRNGKey(0), model.statics
+    )
+    run = make_segmented_fit(model, segment_len=7)
+    res_seg = run(kspace, masks, jax.random.PRNGKey(0), model.statics)
+    scale = float(jnp.abs(res_single.image).max())
+    assert (
+        float(jnp.abs(res_single.image - res_seg.image).max()) < 1e-2 * scale
+    )
+    np.testing.assert_allclose(
+        np.asarray(res_single.losses[:3]), np.asarray(res_seg.losses[:3]),
+        rtol=1e-4, atol=1e-5,
+    )
+
+
 def test_dc_motion_gate_all_still_keeps_measured_spectrum():
     # With an absurdly large gate every group counts as still: the DC
     # projection keeps the full measured spectrum and the fit output is
