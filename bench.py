@@ -43,7 +43,7 @@ def _c2f_env():
     """Coarse-to-fine knobs: BENCH_C2F is either a single phase length (run
     at BENCH_CSIZE^2) or a '+'-separated multi-level pyramid like
     '40@192+50@256' (config.py coarse_schedule).  0 disables."""
-    c2f = os.environ.get("BENCH_C2F", "30@192+45@256")
+    c2f = os.environ.get("BENCH_C2F", "13@192+25@256")
     if "@" in c2f:
         sched = tuple(
             (int(p.split("@")[0]), int(p.split("@")[1]))
@@ -71,7 +71,14 @@ def main():
     from miccai24_immoco_tpu.parallel.sharded_fit import make_batched_segmented_fit
 
     batch = int(os.environ.get("BENCH_BATCH", "4"))
-    iters = int(os.environ.get("BENCH_ITERS", "200"))
+    # Default 120 (round 3): the lambda schedule scales with iters, so a
+    # shorter fit is a rescaled protocol, not a truncation; the measured
+    # quality cliff is the ~55 full-res JOINT iterations, which the default
+    # c2f/freeze split preserves (PERFORMANCE.md round-3 table: 120 it at
+    # 0.9549 s/slice, ssim 0.9862/psnr 35.14 vs the 200-it round-2 default
+    # 1.78 s/slice, 0.9864/34.47).  BENCH_ITERS=200 + BENCH_C2F=30@192+45@256
+    # + BENCH_FREEZE=60 + BENCH_FITMOV=10 reproduces the round-2 protocol.
+    iters = int(os.environ.get("BENCH_ITERS", "120"))
     size = int(os.environ.get("BENCH_SIZE", "320"))
     enc = os.environ.get("BENCH_ENCODING", "lattice")
     max_mov = int(os.environ.get("BENCH_MAXMOV", "10"))
@@ -86,7 +93,10 @@ def main():
     # production eval's movement bucketing (eval/runners.py buckets=[18]);
     # heavy: BENCH_NMOV=18 BENCH_MAXMOV=24 BENCH_FITMOV=18.
     n_mov = int(os.environ.get("BENCH_NMOV", "8"))  # light=8, heavy=18
-    fit_mov = int(os.environ.get("BENCH_FITMOV", str(max_mov)))
+    # Fit padding defaults to the DRAW size (light 8): run-length grouping
+    # of n movements yields <= n groups, so this is exact (zero rows
+    # dropped), the same bucketing the production eval applies per slice.
+    fit_mov = int(os.environ.get("BENCH_FITMOV", str(min(n_mov, max_mov))))
     if fit_mov > max_mov or fit_mov < n_mov:
         raise SystemExit(
             f"BENCH_FITMOV={fit_mov} must satisfy BENCH_NMOV={n_mov} <= "
@@ -118,11 +128,11 @@ def main():
         # Trailing motion-frozen iterations (BENCH_FREEZE=K): the last K
         # full-res iterations hold the Motion INR fixed and run the warp as
         # precomputed-weight apply-only Pallas kernels (config.py
-        # motion_freeze_iters; 28.8 vs 51.4 ms/iter measured).  Default 60:
-        # light 1.79 s/slice at ssim parity (0.9884/34.88 vs the freeze-0
-        # 0.9885/35.20); heavy (FITMOV=18, C2F=50) prefers BENCH_FREEZE=50
-        # -> 3.64 s/slice at 0.9684/31.58 (quality-par with freeze 0).
-        motion_freeze_iters=int(os.environ.get("BENCH_FREEZE", "60")),
+        # motion_freeze_iters; 28.8 vs 51.4 ms/iter measured).  Default 28
+        # leaves ~55 joint full-res iterations at the 120-iter default —
+        # the measured compressed-schedule quality cliff (PERFORMANCE.md
+        # round 3); the round-2 200-iter protocol used BENCH_FREEZE=60.
+        motion_freeze_iters=int(os.environ.get("BENCH_FREEZE", "28")),
         # Joint-span duty cycling (BENCH_DUTY="jxf", e.g. 5x10): alternate
         # j joint iterations with f motion-frozen ones across the full-res
         # joint span (config.py motion_duty; '' = off).
@@ -137,11 +147,10 @@ def main():
         # Coarse-to-fine: BENCH_C2F iterations against the center-cropped
         # k-space on a BENCH_CSIZE^2 raster first (0 = off), or a
         # '+'-separated pyramid (config.py coarse_schedule).  Default
-        # 30@192+45@256 (+motres4) is the measured light-scenario optimum:
-        # 2.12 s/slice, ssim 0.9885/psnr 35.20 vs the round-2 default
-        # 75@256+motres2 at 2.34/0.9891/35.12.  For heavy (BENCH_NMOV=18
-        # BENCH_MAXMOV=24) use BENCH_C2F=50: 5.58/0.9678/31.48 — pyramids
-        # and longer coarse phases REGRESS heavy psnr (PERFORMANCE.md).
+        # 13@192+25@256 pairs with the 120-iter default (PERFORMANCE.md
+        # round-3 compression table).  For heavy (BENCH_NMOV=18
+        # BENCH_MAXMOV=24) use a single-phase BENCH_C2F=<n> — pyramids
+        # REGRESS heavy psnr (PERFORMANCE.md round 2).
         **_c2f_env(),
     )
 
