@@ -183,12 +183,13 @@ def _figure(per_method, n, out_dir, kld, metric_apply, afp_params,
     ind = _line_indicators(ksp, None, kld, indicator_fn)
     masks18, _ = extract_movement_groups(ind, 320, 18)
 
-    # Tuned heavy production config (PERFORMANCE.md heavy recipe).
+    # Tuned heavy production config (PERFORMANCE.md round-3 heavy recipe —
+    # same as the e2e_round3 heavy artifact so compiled graphs are shared).
     cfg = InstanceFitConfig(
-        iters=200, max_movements=18, motion_disp_px=30,
+        iters=160, max_movements=18, motion_disp_px=30,
         warp_impl="pallas_tiled", compute_dtype="bfloat16",
-        motion_res_factor=4, coarse_iters=50, coarse_size=256,
-        motion_freeze_iters=50, motion_duty=(10, 10),
+        motion_res_factor=4, coarse_iters=40, coarse_size=256,
+        motion_freeze_iters=40, motion_duty=(10, 10),
     )
     r = motion_correct(ksp, masks18, cfg, segment_len=50)
 
