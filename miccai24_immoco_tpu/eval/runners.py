@@ -162,6 +162,8 @@ def run_immoco_batched(
     return_diagnostics: bool = False,
     fallback_loss: Optional[float] = None,
     fallback_disp_px: Optional[float] = None,
+    fallback_scorer: Optional[Callable] = None,
+    fallback_scorer_margin: float = 0.0,
 ):
     """Batched variant of run_immoco: slices are fitted in vmapped batches
     (the production throughput mode; parallel/sharded_fit machinery).
@@ -213,6 +215,15 @@ def run_immoco_batched(
     slices whose post-fit mean |displacement| exceeds this threshold report
     the corrupted reconstruction instead.  Self-supervised: the signal is
     the fit's own motion field, no ground truth involved.
+
+    ``fallback_scorer``: learned no-reference do-no-harm selector (same
+    contract): a callable (H, W) magnitude image -> scalar artifact score
+    (lower = cleaner; e.g. the AF+ metric net's objective
+    mean(x*1e4*sigmoid(net(x*1e4))), models/af_plus.py:13 — the direction
+    PERFORMANCE.md's fallback section names, since the residual-based
+    trigger is only weakly correlated with harm).  A slice reports the
+    corrupted reconstruction when score(corrected) > score(corrupted) +
+    ``fallback_scorer_margin``.  Diagnostics record both scores.
     """
     import dataclasses as _dc
 
@@ -276,6 +287,7 @@ def run_immoco_batched(
     metrics_by_idx: Dict[int, Dict[str, float]] = {}
     diag_by_idx: Dict[int, Dict[str, float]] = {}
     ge_by_idx: Dict[int, float] = {}
+    img_by_idx: Dict[int, np.ndarray] = {}
     last_images = None
     for size in sizes:
         idxs = by_bucket.get(size)
@@ -308,6 +320,7 @@ def run_immoco_batched(
                 return_diagnostics
                 or fallback_loss is not None
                 or fallback_disp_px is not None
+                or fallback_scorer is not None
             )
             if want_diag:
                 result, fit_diag = run(
@@ -344,6 +357,8 @@ def run_immoco_batched(
                 metrics_by_idx[i] = _metrics_dict(
                     result.image[j], put_complex(gt_all[i])
                 )
+                if fallback_scorer is not None:
+                    img_by_idx[i] = np.asarray(jnp.abs(result.image[j]))
                 if gt_clean_all is not None:
                     clean = _metrics_dict(
                         result.image[j], put_complex(gt_clean_all[i])
@@ -365,7 +380,8 @@ def run_immoco_batched(
                             jnp.abs(put_complex(gt_all[i]))
                         ),
                     }
-    if fallback_loss is not None or fallback_disp_px is not None:
+    if (fallback_loss is not None or fallback_disp_px is not None
+            or fallback_scorer is not None):
         for i in range(n):
             trigger = (
                 fallback_loss is not None
@@ -374,6 +390,16 @@ def run_immoco_batched(
                 fallback_disp_px is not None
                 and diag_by_idx[i]["mean_disp_px"] > fallback_disp_px
             )
+            if fallback_scorer is not None:
+                s_corr = float(fallback_scorer(jnp.asarray(img_by_idx[i])))
+                s_base = float(fallback_scorer(
+                    jnp.abs(ifft2c(put_complex(ks_all[i])))
+                ))
+                diag_by_idx[i]["score_corrected"] = s_corr
+                diag_by_idx[i]["score_corrupted"] = s_base
+                trigger = trigger or (
+                    s_corr > s_base + fallback_scorer_margin
+                )
             diag_by_idx[i]["fallback"] = bool(trigger)
             if not trigger:
                 continue

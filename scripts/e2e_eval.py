@@ -59,6 +59,32 @@ def corruption_metrics(corpus, n):
     return out
 
 
+def _make_scorer(name_or_path: str):
+    """Registry name / checkpoint path -> jitted no-reference artifact
+    score fn: mean(x*1e4*sigmoid(net(x*1e4))) — the AF+ inner objective
+    (models/af_plus.py:13) evaluated on a magnitude image."""
+    from miccai24_immoco_tpu.config import UnetConfig
+    from miccai24_immoco_tpu.models.unet import build_unet
+    from miccai24_immoco_tpu.utils.checkpoint import restore_with_meta
+    from miccai24_immoco_tpu.weights import path_of
+
+    tree, meta = restore_with_meta(path_of(name_or_path))
+    params = (tree["params"] if isinstance(tree, dict) and "params" in tree
+              else tree)
+    arch = meta.get("unet", {})
+    net = build_unet(UnetConfig(
+        in_chans=1, out_chans=1, chans=arch.get("chans", 16),
+        num_pool_layers=arch.get("num_pool_layers", 5), norm="instance"))
+
+    @jax.jit
+    def score(p, img):
+        logits = net.apply({"params": p}, (img * 1e4)[None, :, :, None],
+                           train=False)[0, :, :, 0]
+        return jnp.mean(img * 1e4 * jax.nn.sigmoid(logits))
+
+    return lambda img: score(params, img)
+
+
 def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 4
     scenarios = (sys.argv[2] if len(sys.argv) > 2 else "light,heavy").split(",")
@@ -126,6 +152,15 @@ def main():
         if os.environ.get("E2E_RESTARTS"):
             extra["restarts"] = int(os.environ["E2E_RESTARTS"])
             extra["restart_select"] = os.environ.get("E2E_SELECT", "loss")
+        if os.environ.get("E2E_SCORER"):
+            # Learned no-reference do-no-harm selector: the AF+ metric
+            # net's objective as an artifact score (runners.py
+            # fallback_scorer rationale).  E2E_SCORER = registry name or
+            # checkpoint path; arch from the checkpoint's "unet" block.
+            extra["fallback_scorer"] = _make_scorer(os.environ["E2E_SCORER"])
+            if os.environ.get("E2E_SCORER_MARGIN"):
+                extra["fallback_scorer_margin"] = float(
+                    os.environ["E2E_SCORER_MARGIN"])
         want_diag = bool(int(os.environ.get("E2E_DIAG", "0"))) or extra
         out = run_immoco_batched(
             corpus, cfg, kld=kld, limit=n, batch_size=min(n, 4),
@@ -163,7 +198,9 @@ def main():
         per_scenario_corrupt[scenario] = corruption_metrics(corpus, n)
         if diags is not None:
             meta["scenarios"][scenario]["fallback_knobs"] = {
-                k: v for k, v in extra.items()
+                k: (v if isinstance(v, (int, float, str, bool)) else
+                    os.environ.get("E2E_SCORER", str(type(v).__name__)))
+                for k, v in extra.items()
             }
             import json as _json
 

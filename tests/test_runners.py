@@ -275,6 +275,65 @@ def test_run_immoco_batched_fallback_disp(corpus):
         assert m["psnr"] == expect["psnr"] and m["ssim"] == expect["ssim"]
 
 
+def test_run_immoco_batched_fallback_scorer(corpus):
+    """fallback_scorer (learned no-reference selector): a scorer that
+    always prefers the corrupted image flips every slice; one that always
+    prefers the correction is a no-op; both scores land in diagnostics."""
+    import jax.numpy as jnp
+
+    from miccai24_immoco_tpu.eval.runners import _metrics_dict, run_immoco_batched
+    from miccai24_immoco_tpu.ops.fft import ifft2c
+    from miccai24_immoco_tpu.utils.hostio import put_complex
+
+    cfg = small_cfg("lattice", "lattice", iters=5, max_movements=4)
+    plain = run_immoco_batched(corpus, cfg, batch_size=2, segment_len=3)
+
+    # Scorer = negative image mean: corrected and corrupted differ, so use
+    # a deterministic rule keyed on which input we see.  The corrupted
+    # magnitudes are reproducible; mark them with score 0, others 1.
+    corrupted_means = {
+        round(float(jnp.abs(ifft2c(put_complex(k))).mean()), 6)
+        for k in corpus["kspace_motion"]
+    }
+
+    def prefers_corrupted(img):
+        return 0.0 if round(float(img.mean()), 6) in corrupted_means else 1.0
+
+    def prefers_corrected(img):
+        return 1.0 if round(float(img.mean()), 6) in corrupted_means else 0.0
+
+    noop, d_noop = run_immoco_batched(
+        corpus, cfg, batch_size=2, segment_len=3,
+        fallback_scorer=prefers_corrected, return_diagnostics=True,
+    )
+    assert plain == noop
+    assert all(d["fallback"] is False for d in d_noop)
+    assert all(
+        d["score_corrected"] == 0.0 and d["score_corrupted"] == 1.0
+        for d in d_noop
+    )
+
+    forced, d_forced = run_immoco_batched(
+        corpus, cfg, batch_size=2, segment_len=3,
+        fallback_scorer=prefers_corrupted, return_diagnostics=True,
+    )
+    assert all(d["fallback"] is True for d in d_forced)
+    for i, m in enumerate(forced):
+        expect = _metrics_dict(
+            ifft2c(put_complex(corpus["kspace_motion"][i])),
+            put_complex(corpus["image_rss"][i]),
+        )
+        assert m["psnr"] == expect["psnr"] and m["ssim"] == expect["ssim"]
+    # A large margin suppresses the flip (do-no-harm stays conservative).
+    lenient, d_len = run_immoco_batched(
+        corpus, cfg, batch_size=2, segment_len=3,
+        fallback_scorer=prefers_corrupted, fallback_scorer_margin=10.0,
+        return_diagnostics=True,
+    )
+    assert plain == lenient
+    assert all(d["fallback"] is False for d in d_len)
+
+
 def test_restart_improves_nan_safe():
     """Best-of-K winner rule: a diverged (NaN) restart never displaces a
     finite earlier winner, and finite scores pick the minimum."""
