@@ -50,11 +50,20 @@ def save(path: str, tree: Any, metadata: Optional[Dict] = None) -> None:
         shutil.rmtree(old)
 
 
-def restore(path: str, target: Any = None) -> Any:
+def restore(path: str, target: Any = None, host: bool = True) -> Any:
     """Restore a checkpoint; ``target`` (a pytree of arrays or
     ShapeDtypeStructs) pins the result's structure — required when the saved
     tree contains tuples/namedtuples (e.g. optax states), which orbax
-    otherwise returns as plain nested containers in storage order."""
+    otherwise returns as plain nested containers in storage order.
+
+    ``host=True`` (default) converts the restored leaves to host numpy
+    arrays before returning.  TPU-tunnel landmine (round 3, measured): a
+    process holding orbax-restored DEVICE buffers fails every subsequent
+    large device->host readback with RESOURCE_EXHAUSTED (e.g. the ~40 MB
+    corpus pulls in hostio.get_complex), even though the restored tree is
+    only ~124 MB on a 16 GB chip; converting to host and dropping the
+    device buffers clears it.  Checkpoints are host artifacts — consumers
+    jit them back in (one h2d per fit/step, negligible)."""
     import jax
     import orbax.checkpoint as ocp
 
@@ -64,6 +73,13 @@ def restore(path: str, target: Any = None) -> Any:
         # A crash between save()'s two os.replace calls leaves only the
         # set-aside previous checkpoint; restore that.
         path = path + ".old_save"
+    def _finish(tree):
+        if not host:
+            return tree
+        import numpy as np
+
+        return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
+
     if target is not None:
         sharding = jax.sharding.SingleDeviceSharding(jax.devices()[0])
         abstract = jax.tree.map(
@@ -72,9 +88,9 @@ def restore(path: str, target: Any = None) -> Any:
             ),
             target,
         )
-        return ckpt.restore(path, abstract)
+        return _finish(ckpt.restore(path, abstract))
     try:
-        return ckpt.restore(path)
+        return _finish(ckpt.restore(path))
     except ValueError:
         # Cross-device restore (e.g. checkpoint saved on CPU, restored on
         # TPU): rebuild an abstract target from the stored metadata so orbax
@@ -88,7 +104,7 @@ def restore(path: str, target: Any = None) -> Any:
             return jax.ShapeDtypeStruct(m.shape, m.dtype, sharding=sharding)
 
         target = jax.tree.map(to_abstract, tree)
-        return ckpt.restore(path, target)
+        return _finish(ckpt.restore(path, target))
 
 
 def restore_with_meta(path: str, target: Any = None) -> Tuple[Any, Dict]:
