@@ -31,14 +31,26 @@ def method_comparison_figure(
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
 
+    import jax
+
     gt_mag = np.abs(gt)
+
+    # One jitted graph for all panels: eager slices/metrics on the
+    # tunneled TPU both pay a ~30 s remote compile PER OP and can hit
+    # UNIMPLEMENTED layouts (CLAUDE.md landmine #4; observed in the
+    # round-3 method-comparison run on center_crop_quarter's slice).
+    @jax.jit
+    def _score(img, g):
+        m = calmetric2d(
+            center_crop_quarter(jnp.abs(img))[None, None],
+            center_crop_quarter(g)[None, None],
+        )
+        return jnp.stack([m.ssim, m.psnr])
+
     scores = {}
     for name, img in methods.items():
-        m = calmetric2d(
-            center_crop_quarter(jnp.abs(jnp.asarray(img)))[None, None],
-            center_crop_quarter(jnp.asarray(gt_mag))[None, None],
-        )
-        scores[name] = {"ssim": float(m.ssim), "psnr": float(m.psnr)}
+        s = np.asarray(_score(jnp.asarray(img), jnp.asarray(gt_mag)))
+        scores[name] = {"ssim": float(s[0]), "psnr": float(s[1])}
 
     n = len(methods) + 1
     rows = 2 if with_error_maps else 1

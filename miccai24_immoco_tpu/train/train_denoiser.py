@@ -143,7 +143,15 @@ def make_denoiser_trainer(
         return {
             "loss": denoiser_loss(out, target),
             "ssim": s_fit,
-            "ssim_gain": jnp.abs(s_fit - s_corrupt),
+            # SIGNED improvement.  This was jnp.abs(s_fit - s_corrupt),
+            # which inverted the best-checkpoint gate: an early garbage
+            # net (s_fit 0.16 vs s_corrupt 0.88) scored "gain" 0.72 and
+            # locked out every genuinely-improving later step (+0.02..0.06)
+            # — both round-2 distribution denoiser checkpoints shipped that
+            # garbage state (caught round 3 by the first image-metric eval;
+            # reference gates on signed improvement,
+            # train_unet_denoiser.py:197-206).
+            "ssim_gain": s_fit - s_corrupt,
         }
 
     train_step = jax.jit(_train_step)
@@ -239,7 +247,13 @@ def train_denoiser(
     params, opt_state = init_fn(ik)
 
     gate = cfg.ssim_diff_gate / 100.0
-    best_gain = jnp.asarray(gate, jnp.float32)
+    # Track the best gain ACHIEVED (init -inf), not "best above the gate":
+    # seeding the tracker at the gate meant a run whose genuine gains
+    # stayed below it silently kept the random init as best_params.  The
+    # reference gate (>= ssim_diff_gate SSIM points,
+    # train_unet_denoiser.py:197-206) is reported separately via
+    # ``best_gain``/the gated ``best`` return.
+    best_gain = jnp.asarray(-jnp.inf, jnp.float32)
     best_params = params
     done = 0
     while done < steps:
