@@ -40,16 +40,21 @@ def method_comparison_figure(
     # UNIMPLEMENTED layouts (CLAUDE.md landmine #4; observed in the
     # round-3 method-comparison run on center_crop_quarter's slice).
     @jax.jit
-    def _score(img, g):
+    def _score(mag, g):
         m = calmetric2d(
-            center_crop_quarter(jnp.abs(img))[None, None],
+            center_crop_quarter(mag)[None, None],
             center_crop_quarter(g)[None, None],
         )
         return jnp.stack([m.ssim, m.psnr])
 
     scores = {}
     for name, img in methods.items():
-        s = np.asarray(_score(jnp.asarray(img), jnp.asarray(gt_mag)))
+        # Magnitude taken on HOST: method images arrive as host complex64
+        # and complex must never cross host->device (CLAUDE.md landmine #1
+        # — the jnp.asarray(complex) transfer is UNIMPLEMENTED on the
+        # tunneled TPU).
+        mag = np.abs(np.asarray(img)).astype(np.float32)
+        s = np.asarray(_score(jnp.asarray(mag), jnp.asarray(gt_mag)))
         scores[name] = {"ssim": float(s[0]), "psnr": float(s[1])}
 
     n = len(methods) + 1
