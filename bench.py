@@ -16,7 +16,7 @@ guard against benchmarking a broken model.
 
 Output: ONE JSON line {"metric", "value", "unit", "vs_baseline", ...extras}.
 
-Env knobs: BENCH_BATCH (default 4), BENCH_ITERS (200), BENCH_SIZE (320),
+Env knobs: BENCH_BATCH (default 4), BENCH_ITERS (115), BENCH_SIZE (320),
 BENCH_ENCODING (image encoding: lattice|hash, default lattice).
 """
 
@@ -43,7 +43,7 @@ def _c2f_env():
     """Coarse-to-fine knobs: BENCH_C2F is either a single phase length (run
     at BENCH_CSIZE^2) or a '+'-separated multi-level pyramid like
     '40@192+50@256' (config.py coarse_schedule).  0 disables."""
-    c2f = os.environ.get("BENCH_C2F", "13@192+25@256")
+    c2f = os.environ.get("BENCH_C2F", "12@192+24@256")
     if "@" in c2f:
         sched = tuple(
             (int(p.split("@")[0]), int(p.split("@")[1]))
@@ -71,14 +71,15 @@ def main():
     from miccai24_immoco_tpu.parallel.sharded_fit import make_batched_segmented_fit
 
     batch = int(os.environ.get("BENCH_BATCH", "4"))
-    # Default 120 (round 3): the lambda schedule scales with iters, so a
-    # shorter fit is a rescaled protocol, not a truncation; the measured
-    # quality cliff is the ~55 full-res JOINT iterations, which the default
-    # c2f/freeze split preserves (PERFORMANCE.md round-3 table: 120 it at
-    # 0.9549 s/slice, ssim 0.9862/psnr 35.14 vs the 200-it round-2 default
-    # 1.78 s/slice, 0.9864/34.47).  BENCH_ITERS=200 + BENCH_C2F=30@192+45@256
-    # + BENCH_FREEZE=60 + BENCH_FITMOV=10 reproduces the round-2 protocol.
-    iters = int(os.environ.get("BENCH_ITERS", "120"))
+    # Default 115 (round 3 cont.): the lambda schedule scales with iters, so
+    # a shorter fit is a rescaled protocol, not a truncation; the measured
+    # quality cliff is the ~54 full-res JOINT iterations, which the default
+    # c2f/freeze split preserves (PERFORMANCE.md round-3 table: 115 it at
+    # 0.9308 s/slice, ssim 0.9861/psnr 35.32 vs the 120-it 0.9549/0.9862
+    # and the 200-it round-2 default 1.78 s/slice, 0.9864/34.47).
+    # BENCH_ITERS=200 + BENCH_C2F=30@192+45@256 + BENCH_FREEZE=60 +
+    # BENCH_FITMOV=10 reproduces the round-2 protocol.
+    iters = int(os.environ.get("BENCH_ITERS", "115"))
     size = int(os.environ.get("BENCH_SIZE", "320"))
     enc = os.environ.get("BENCH_ENCODING", "lattice")
     max_mov = int(os.environ.get("BENCH_MAXMOV", "10"))
@@ -128,11 +129,11 @@ def main():
         # Trailing motion-frozen iterations (BENCH_FREEZE=K): the last K
         # full-res iterations hold the Motion INR fixed and run the warp as
         # precomputed-weight apply-only Pallas kernels (config.py
-        # motion_freeze_iters; 28.8 vs 51.4 ms/iter measured).  Default 28
-        # leaves ~55 joint full-res iterations at the 120-iter default —
+        # motion_freeze_iters; 28.8 vs 51.4 ms/iter measured).  Default 25
+        # leaves ~54 joint full-res iterations at the 115-iter default —
         # the measured compressed-schedule quality cliff (PERFORMANCE.md
         # round 3); the round-2 200-iter protocol used BENCH_FREEZE=60.
-        motion_freeze_iters=int(os.environ.get("BENCH_FREEZE", "28")),
+        motion_freeze_iters=int(os.environ.get("BENCH_FREEZE", "25")),
         # Joint-span duty cycling (BENCH_DUTY="jxf", e.g. 5x10): alternate
         # j joint iterations with f motion-frozen ones across the full-res
         # joint span (config.py motion_duty; '' = off).
@@ -147,7 +148,7 @@ def main():
         # Coarse-to-fine: BENCH_C2F iterations against the center-cropped
         # k-space on a BENCH_CSIZE^2 raster first (0 = off), or a
         # '+'-separated pyramid (config.py coarse_schedule).  Default
-        # 13@192+25@256 pairs with the 120-iter default (PERFORMANCE.md
+        # 12@192+24@256 pairs with the 115-iter default (PERFORMANCE.md
         # round-3 compression table).  For heavy (BENCH_NMOV=18
         # BENCH_MAXMOV=24) use a single-phase BENCH_C2F=<n> — pyramids
         # REGRESS heavy psnr (PERFORMANCE.md round 2).
