@@ -121,6 +121,9 @@ def main():
         warp_tile_px=int(os.environ.get("BENCH_TILE", "0")),
         warp_impl=os.environ.get("BENCH_WARP", "pallas_tiled"),
         warp_pallas_tile_px=int(os.environ.get("BENCH_PTILE", "64")),
+        # Source-window edge override (0 = 2*tile).  Pairs with DISPCAP:
+        # exactness needs cap <= (win - tile)/2 - 2, e.g. PWIN=96 DISPCAP=14.
+        warp_pallas_win_px=int(os.environ.get("BENCH_PWIN", "0")),
         # Default 4: the displacement field is evaluated on an 80^2 lattice
         # and linearly upsampled.  Under coarse-to-fine, motres 4 is
         # quality-neutral-to-positive (PERFORMANCE.md round 2 cont.:
@@ -214,6 +217,53 @@ def main():
 
     fit_q = readback(quality(r.image, images))
 
+    # Budget-matched second reading (VERDICT r3 weak #1): the default bench
+    # number times a COMPRESSED schedule (the lambda schedule scales with
+    # iters, so it is a rescaled protocol) — but the A100 could compress
+    # too, so the 200-iteration round-2 protocol is timed alongside whenever
+    # the default config is benched.  BENCH_MATCHED=0 disables.
+    matched = {}
+    if (
+        os.environ.get("BENCH_MATCHED", "1") == "1"
+        and iters != 200
+        and "BENCH_NMOV" not in os.environ  # light protocol only
+    ):
+        import dataclasses as _dc
+
+        mcfg = _dc.replace(
+            cfg,
+            iters=200,
+            max_movements=max(fit_mov, min(10, max_mov)),
+            coarse_iters=0,
+            coarse_schedule=((30, 192), (45, 256)),
+            motion_freeze_iters=60,
+        )
+        mmodel = build_immoco(mcfg, size, size)
+        mfit = make_batched_segmented_fit(mmodel, segment_len=seg_len or 50)
+        mmasks = masks
+        if mcfg.max_movements > fit_mov:
+            import jax.numpy as _jnp
+
+            mmasks = _jnp.pad(
+                masks,
+                ((0, 0), (0, mcfg.max_movements - fit_mov), (0, 0), (0, 0)),
+            )
+        mr = mfit(ksp, mmasks, keys, mmodel.statics)
+        sync(mr.losses)
+        t0 = time.perf_counter()
+        mr = mfit(ksp, mmasks, keys, mmodel.statics)
+        sync(mr.losses)
+        m_per_slice = (time.perf_counter() - t0) / batch
+        mq = readback(quality(mr.image, images))
+        matched = {
+            "matched_200_value": round(m_per_slice, 4),
+            "matched_200_vs_baseline": round(
+                A100_REFERENCE_SECONDS_PER_SLICE / m_per_slice, 2
+            ),
+            "matched_200_ssim": round(float(mq[0]), 4),
+            "matched_200_psnr": round(float(mq[1]), 2),
+        }
+
     @jax.jit
     def corrupt_quality(ksp, gt):
         return quality(ifft2c(ksp), gt)
@@ -242,6 +292,7 @@ def main():
                 "psnr_corrupted": round(float(cor_q[1]), 2),
                 "device": str(jax.devices()[0]),
                 "baseline_note": "vs documented 4.0 s/slice A100 estimate (BASELINE.md)",
+                **matched,
             }
         )
     )

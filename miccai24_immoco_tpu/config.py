@@ -143,8 +143,16 @@ class InstanceFitConfig:
     # warp_pallas_tile_px/2 - 2, see ops/warp_tiled_pallas.py).
     warp_impl: str = "matmul"
     # Output-tile edge for warp_impl="pallas_tiled" (source window is twice
-    # this); H, W must be divisible by it.
+    # this unless warp_pallas_win_px overrides); H, W must be divisible by
+    # it.
     warp_pallas_tile_px: int = 64
+    # Source-window edge for warp_impl="pallas_tiled" (0 = the historic
+    # 2*tile).  A smaller window shrinks the per-unit hat-row build (the
+    # measured VPU floor, PERFORMANCE.md item 2a) and the window matmuls
+    # proportionally; exactness requires motion_disp_px <=
+    # (win - tile)/2 - 2, so e.g. tile 64 / win 96 pairs with a 14 px cap.
+    # Must be a multiple of 8.
+    warp_pallas_win_px: int = 0
     # Optional displacement cap in pixels: scales the Motion INR's tanh
     # output so |displacement| <= motion_disp_px (reference allows the full
     # +-1 normalized range = +-half the image; protocol motions are <=~30 px

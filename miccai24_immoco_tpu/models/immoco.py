@@ -300,13 +300,18 @@ class IMMoCoModel:
             )
 
             tile = self.cfg.warp_pallas_tile_px
+            win = self.cfg.warp_pallas_win_px or 2 * tile
+            # Shrunken windows can exceed small coarse rasters; fall back to
+            # the 2*tile geometry there (still bounded by the same cap).
+            win = min(win, 2 * tile)
+            cap_max = (win - tile) // 2 - 2
             if (
                 self.cfg.motion_disp_px is None
-                or self.cfg.motion_disp_px > tile // 2 - 2
+                or self.cfg.motion_disp_px > cap_max
             ):
                 raise ValueError(
                     "warp_impl='pallas_tiled' requires motion_disp_px <= "
-                    f"warp_pallas_tile_px/2 - 2 = {tile // 2 - 2} (got "
+                    f"(win - tile)/2 - 2 = {cap_max} (got "
                     f"{self.cfg.motion_disp_px}); the window only covers "
                     "displacements within that bound"
                 )
@@ -316,11 +321,13 @@ class IMMoCoModel:
                 )
 
                 motion_images = bilinear_sample_tiled_pallas_planes(
-                    image, gy, gx, align_corners=False, tile_px=tile
+                    image, gy, gx, align_corners=False, tile_px=tile,
+                    win_px=win,
                 )
             else:
                 motion_images = bilinear_sample_tiled_pallas(
-                    image, grids, align_corners=False, tile_px=tile
+                    image, grids, align_corners=False, tile_px=tile,
+                    win_px=win,
                 )
         elif self.cfg.warp_impl == "pallas":
             from miccai24_immoco_tpu.ops.warp_pallas import (
@@ -379,7 +386,13 @@ class IMMoCoModel:
             return warp_tiled_frozen_weights(
                 jax.lax.stop_gradient(gy), jax.lax.stop_gradient(gx),
                 self.height, self.width,
-                tile_px=self.cfg.warp_pallas_tile_px, align_corners=False,
+                tile_px=self.cfg.warp_pallas_tile_px,
+                win_px=min(
+                    self.cfg.warp_pallas_win_px
+                    or 2 * self.cfg.warp_pallas_tile_px,
+                    2 * self.cfg.warp_pallas_tile_px,
+                ),
+                align_corners=False,
             )
         from miccai24_immoco_tpu.ops.warp_mm import bilinear_weights_tiled
 

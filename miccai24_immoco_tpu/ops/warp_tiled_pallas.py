@@ -179,12 +179,11 @@ def _untile(out: jnp.ndarray, m, ny, nx, b, c):
     return t.reshape(m, ny * b, nx * b, c)
 
 
-def _build(planes, gy_px, gx_px, tile: int):
+def _build(planes, gy_px, gx_px, tile: int, win: int):
     """Shared forward/backward preprocessing: windows + local tile coords."""
     c, h, w = planes.shape
     m, ho, wo = gy_px.shape
     b = tile
-    win = 2 * tile
     ny, nx = ho // b, wo // b
     sys_ = _window_starts(h, ny, b, win)
     sxs_ = _window_starts(w, nx, b, win)
@@ -204,15 +203,15 @@ def _build(planes, gy_px, gx_px, tile: int):
     return windows, gyl, gxl, (c, m, ny, nx, b, win, sys_, sxs_)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
-def _warp_tiled(planes, gy_px, gx_px, tile: int, interpret: bool):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _warp_tiled(planes, gy_px, gx_px, tile: int, win: int, interpret: bool):
     """planes (C, H, W) f32; gy/gx (M, Ho, Wo) pixel coords -> (M,Ho,Wo,C)."""
-    out, _ = _warp_tiled_fwd(planes, gy_px, gx_px, tile, interpret)
+    out, _ = _warp_tiled_fwd(planes, gy_px, gx_px, tile, win, interpret)
     return out
 
 
-def _warp_tiled_fwd(planes, gy_px, gx_px, tile, interpret):
-    windows, gyl, gxl, meta = _build(planes, gy_px, gx_px, tile)
+def _warp_tiled_fwd(planes, gy_px, gx_px, tile, win, interpret):
+    windows, gyl, gxl, meta = _build(planes, gy_px, gx_px, tile, win)
     c, m, ny, nx, b, win, _, _ = meta
     n = b * b
     k = ny * nx
@@ -233,12 +232,11 @@ def _warp_tiled_fwd(planes, gy_px, gx_px, tile, interpret):
     return _untile(out, m, ny, nx, b, c), (planes, windows, gyl, gxl)
 
 
-def _warp_tiled_bwd(tile, interpret, res, d_out):
+def _warp_tiled_bwd(tile, win, interpret, res, d_out):
     planes, windows, gyl, gxl = res
     c, h, w = planes.shape
     m = gyl.shape[1]
     b = tile
-    win = 2 * tile
     ny, nx = d_out.shape[1] // b, d_out.shape[2] // b
     sys_ = _window_starts(h, ny, b, win)
     sxs_ = _window_starts(w, nx, b, win)
@@ -303,28 +301,47 @@ def _warp_tiled_bwd(tile, interpret, res, d_out):
 _warp_tiled.defvjp(_warp_tiled_fwd, _warp_tiled_bwd)
 
 
+def _resolve_win(tile_px: int, win_px: int | None, h: int, w: int) -> int:
+    """Source-window edge for a tile.  Default (None/0) keeps the historic
+    2*tile geometry; an explicit win_px < 2*tile shrinks the hat-row and
+    window-matmul work proportionally when the displacement cap is small
+    (exactness needs motion_disp_px <= (win - tile)/2 - 2; round-4 probe:
+    tile 64 / win 96 / cap 14 holds bench quality).  Must be a multiple of
+    8 (f32 sublane) and >= tile + 8; clamped to the image edge."""
+    if not win_px:
+        return 2 * tile_px
+    if win_px % 8 or win_px < tile_px + 8:
+        raise ValueError(
+            f"win_px={win_px} must be a multiple of 8 and >= tile_px + 8"
+        )
+    if win_px > min(h, w):
+        raise ValueError(f"win_px={win_px} larger than image ({h},{w})")
+    return win_px
+
+
 def bilinear_sample_tiled_pallas(
     image: jnp.ndarray,
     grids: jnp.ndarray,
     align_corners: bool = False,
     tile_px: int = 64,
+    win_px: int | None = None,
     interpret: bool | None = None,
 ) -> jnp.ndarray:
     """Drop-in for warp_mm.bilinear_sample_mm (zeros padding) with the tiled
     Pallas kernels.  Exact iff every grid displacement from the identity is
-    <= tile_px/2 - 2 pixels (config-gated via motion_disp_px)."""
+    <= (win - tile)/2 - 2 pixels (config-gated via motion_disp_px; win
+    defaults to 2*tile)."""
     h, w = image.shape
     m, ho, wo, _ = grids.shape
     if ho % tile_px or wo % tile_px:
         raise ValueError(f"({ho},{wo}) not divisible by tile_px={tile_px}")
-    if h < 2 * tile_px or w < 2 * tile_px:
-        raise ValueError(f"image smaller than window 2*tile_px={2*tile_px}")
     return bilinear_sample_tiled_pallas_planes(
         image,
         grids[..., 1],
         grids[..., 0],
         align_corners=align_corners,
         tile_px=tile_px,
+        win_px=win_px,
         interpret=interpret,
     )
 
@@ -335,6 +352,7 @@ def bilinear_sample_tiled_pallas_planes(
     gx_n: jnp.ndarray,
     align_corners: bool = False,
     tile_px: int = 64,
+    win_px: int | None = None,
     interpret: bool | None = None,
 ) -> jnp.ndarray:
     """Planes entry: normalized sampling coordinates as separate (M, Ho, Wo)
@@ -344,8 +362,9 @@ def bilinear_sample_tiled_pallas_planes(
     m, ho, wo = gy_n.shape
     if ho % tile_px or wo % tile_px:
         raise ValueError(f"({ho},{wo}) not divisible by tile_px={tile_px}")
-    if h < 2 * tile_px or w < 2 * tile_px:
-        raise ValueError(f"image smaller than window 2*tile_px={2 * tile_px}")
+    win = _resolve_win(tile_px, win_px, h, w)
+    if h < win or w < win:
+        raise ValueError(f"image smaller than window {win}")
     if interpret is None:
         interpret = _interpret_default()
     if jnp.iscomplexobj(image):
@@ -360,7 +379,7 @@ def bilinear_sample_tiled_pallas_planes(
 
     gx = unnormalize(gx_n, w)
     gy = unnormalize(gy_n, h)
-    out = _warp_tiled(planes, gy, gx, tile_px, interpret)  # (M, Ho, Wo, C)
+    out = _warp_tiled(planes, gy, gx, tile_px, win, interpret)  # (M,Ho,Wo,C)
     if jnp.iscomplexobj(image):
         return jax.lax.complex(out[..., 0], out[..., 1])
     return out[..., 0]
@@ -418,18 +437,20 @@ def warp_tiled_frozen_weights(
     h: int,
     w: int,
     tile_px: int = 64,
+    win_px: int | None = None,
     align_corners: bool = False,
 ):
     """Precompute hat-weight rows for FIXED normalized sampling planes.
 
     gy_n/gx_n: (M, Ho, Wo) normalized coords (the model's channel-first
     grids).  Returns {"ay", "ax"}: (K, M, n, win) bf16 hat rows in the
-    fused kernels' window geometry (win = 2*tile, same _window_starts), so
-    warp_tiled_frozen_apply reproduces bilinear_sample_tiled_pallas_planes
-    exactly.  Built in plain XLA — a once-per-segment cost."""
+    fused kernels' window geometry (win defaults to 2*tile, same
+    _window_starts), so warp_tiled_frozen_apply reproduces
+    bilinear_sample_tiled_pallas_planes exactly.  Built in plain XLA — a
+    once-per-segment cost."""
     m, ho, wo = gy_n.shape
     b = tile_px
-    win = 2 * b
+    win = _resolve_win(b, win_px, h, w)
     ny, nx = ho // b, wo // b
 
     def unnormalize(coord, size):
@@ -458,8 +479,8 @@ def warp_tiled_frozen_weights(
             jnp.bfloat16
         )
 
-    return {"ay": hat(gyl), "ax": hat(gxl), "tile_px": b, "h": h, "w": w,
-            "ho": ho, "wo": wo}
+    return {"ay": hat(gyl), "ax": hat(gxl), "tile_px": b, "win": win,
+            "h": h, "w": w, "ho": ho, "wo": wo}
 
 
 @jax.custom_vjp
@@ -546,7 +567,7 @@ def warp_tiled_frozen_apply(image: jnp.ndarray, wts) -> jnp.ndarray:
     order/dtypes); differentiable w.r.t. the image only."""
     b = wts["tile_px"]
     h, w, ho, wo = wts["h"], wts["w"], wts["ho"], wts["wo"]
-    win = 2 * b
+    win = wts.get("win", 2 * b)
     ny, nx = ho // b, wo // b
     m = wts["ay"].shape[1]
     if jnp.iscomplexobj(image):

@@ -147,16 +147,17 @@ def main():
                               if k in ("ssim", "psnr", "haar_psi")}
                           for s in scenarios} for m in order}, indent=2))
 
-    if os.environ.get("MC_FIGURE", "1") == "1" and "heavy" in scenarios:
+    fig_scn = os.environ.get("MC_FIG_SCENARIO", "heavy")
+    if os.environ.get("MC_FIGURE", "1") == "1" and fig_scn in scenarios:
         _figure(per_method, n, out_dir, kld, metric_apply, afp_params,
-                den_net, den_params, af_iters, afp_iters)
+                den_net, den_params, af_iters, afp_iters, scenario=fig_scn)
     print("artifact in", out_dir, flush=True)
 
 
 def _figure(per_method, n, out_dir, kld, metric_apply, afp_params,
-            den_net, den_params, af_iters, afp_iters):
-    """All-methods panel figure on the median-immoco-SSIM heavy sample
-    (paper_visualizations.ipynb composition)."""
+            den_net, den_params, af_iters, afp_iters, scenario="heavy"):
+    """All-methods panel figure on the median-immoco-SSIM sample of
+    ``scenario`` (paper_visualizations.ipynb composition)."""
     from miccai24_immoco_tpu.cli import _synthetic_corpus
     from miccai24_immoco_tpu.config import (
         AFPlusConfig,
@@ -173,9 +174,9 @@ def _figure(per_method, n, out_dir, kld, metric_apply, afp_params,
     from miccai24_immoco_tpu.train.train_denoiser import denoise
     from miccai24_immoco_tpu.utils.hostio import get_complex, put_complex
 
-    ssims = [m["ssim"] for m in per_method["immoco"]["heavy"]]
+    ssims = [m["ssim"] for m in per_method["immoco"][scenario]]
     idx = int(np.argsort(ssims)[len(ssims) // 2])
-    corpus = _synthetic_corpus(n, 320, "heavy", seed=2024)
+    corpus = _synthetic_corpus(n, 320, scenario, seed=2024)
     ksp = put_complex(corpus["kspace_motion"][idx])
     gt = np.abs(corpus["image_rss"][idx])
 
@@ -206,10 +207,10 @@ def _figure(per_method, n, out_dir, kld, metric_apply, afp_params,
         "AF+": get_complex(afp.image),
         "IM-MoCo": get_complex(r.image),
     }
-    out = os.path.join(out_dir, "method_comparison_heavy_median.png")
+    out = os.path.join(out_dir, f"method_comparison_{scenario}_median.png")
     scores = method_comparison_figure(
         gt, methods, out,
-        title=f"heavy sample {idx} (median IM-MoCo SSIM)")
+        title=f"{scenario} sample {idx} (median IM-MoCo SSIM)")
     with open(os.path.join(out_dir, "figure_scores.json"), "w") as f:
         json.dump({"index": idx, "scores": scores}, f, indent=2)
     print("figure saved:", out, flush=True)

@@ -122,6 +122,66 @@ def test_vmap_batch(rng):
         assert err < 2e-2 * float(jnp.abs(imgs[b]).max()), err
 
 
+def test_shrunken_window_matches_gather(rng):
+    """win_px < 2*tile (round-4 geometry: fewer hat elements per unit) is
+    exact vs the gather reference for displacements within the tighter
+    (win - tile)/2 - 2 bound, for values AND both gradients."""
+    win = TILE + 16  # pad 8 -> cap 6
+    img, grids = _setup(rng, m=3, disp_px=(win - TILE) // 2 - 2)
+    ours = bilinear_sample_tiled_pallas(img, grids, tile_px=TILE, win_px=win)
+    ref = _gather_ref(img, grids)
+    scale = float(jnp.abs(img).max())
+    assert np.abs(np.asarray(ours) - np.asarray(ref)).max() < 2e-2 * scale
+
+    w = jnp.asarray(
+        rng.standard_normal((3, H, W)) + 1j * rng.standard_normal((3, H, W)),
+        jnp.complex64,
+    )
+
+    def loss_tiled(im, gr):
+        out = bilinear_sample_tiled_pallas(im, gr, tile_px=TILE, win_px=win)
+        return jnp.sum((out * w.conj()).real)
+
+    def loss_gather(im, gr):
+        return jnp.sum((_gather_ref(im, gr) * w.conj()).real)
+
+    gi_t, gg_t = jax.grad(loss_tiled, argnums=(0, 1))(img, grids)
+    gi_r, gg_r = jax.grad(loss_gather, argnums=(0, 1))(img, grids)
+    assert float(jnp.abs(gi_t - gi_r).max()) < 3e-2 * float(
+        jnp.abs(gi_r).max()
+    )
+    assert float(jnp.abs(gg_t - gg_r).max()) < 3e-2 * float(
+        jnp.abs(gg_r).max()
+    )
+
+
+def test_shrunken_window_frozen_apply_matches(rng):
+    """Frozen weights in the shrunken-window geometry reproduce the fused
+    kernel bit-for-bit (the motion-frozen tail must stay bit-identical to
+    the joint phase it hands off from)."""
+    from miccai24_immoco_tpu.ops.warp_tiled_pallas import (
+        warp_tiled_frozen_apply,
+        warp_tiled_frozen_weights,
+    )
+
+    win = TILE + 16
+    img, grids = _setup(rng, m=2, disp_px=(win - TILE) // 2 - 2)
+    fused = bilinear_sample_tiled_pallas(img, grids, tile_px=TILE, win_px=win)
+    wts = warp_tiled_frozen_weights(
+        grids[..., 1], grids[..., 0], H, W, tile_px=TILE, win_px=win
+    )
+    applied = warp_tiled_frozen_apply(img, wts)
+    np.testing.assert_array_equal(np.asarray(applied), np.asarray(fused))
+
+
+def test_rejects_bad_win(rng):
+    img, grids = _setup(rng, m=1, disp_px=4)
+    with pytest.raises(ValueError):  # not a multiple of 8
+        bilinear_sample_tiled_pallas(img, grids, tile_px=TILE, win_px=TILE + 4)
+    with pytest.raises(ValueError):  # smaller than tile + 8
+        bilinear_sample_tiled_pallas(img, grids, tile_px=TILE, win_px=TILE)
+
+
 def test_frozen_apply_matches_fused_kernel(rng):
     """warp_tiled_frozen_weights + warp_tiled_frozen_apply == the fused
     tiled Pallas warp (same window geometry, hat expression, matmul
