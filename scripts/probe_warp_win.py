@@ -36,7 +36,11 @@ M = int(sys.argv[1]) if len(sys.argv) > 1 else 8
 B = int(sys.argv[2]) if len(sys.argv) > 2 else 4
 R = int(sys.argv[3]) if len(sys.argv) > 3 else 30
 H = W = 320
-TILE = 64
+TILE = int(sys.argv[4]) if len(sys.argv) > 4 else 64
+WINS = (
+    tuple(int(w) for w in sys.argv[5].split(",")) if len(sys.argv) > 5
+    else (0, 96)
+)
 
 
 def timed(name, fn, *args):
@@ -92,10 +96,10 @@ def main():
 
         return run
 
-    for win in (0, 96):
+    for win in WINS:
         tag = win or 2 * TILE
-        timed(f"win{tag} fwd      ", make(win, False), img_pair, gy, gx)
-        timed(f"win{tag} fwd+bwd  ", make(win, True), img_pair, gy, gx)
+        timed(f"t{TILE} win{tag} fwd    ", make(win, False), img_pair, gy, gx)
+        timed(f"t{TILE} win{tag} fwd+bwd", make(win, True), img_pair, gy, gx)
 
 
 if __name__ == "__main__":
