@@ -348,3 +348,29 @@ def test_restart_improves_nan_safe():
     assert _restart_improves(0.5, 0.4)           # lower score wins
     assert not _restart_improves(0.4, 0.5)
     assert not _restart_improves(0.4, 0.4)       # ties keep the earlier
+
+
+def test_hard_scenario_corpus_is_harder():
+    """The round-4 'hard' scenario (cli._synthetic_corpus) must corrupt
+    more than 'heavy' at the same size/seed — it exists to reproduce the
+    reference's corrupted-SSIM ~0.7-0.85 regime (VERDICT r3 missing #2)."""
+    import jax.numpy as jnp
+
+    from miccai24_immoco_tpu.cli import _synthetic_corpus
+    from miccai24_immoco_tpu.ops.fft import ifft2c
+    from miccai24_immoco_tpu.ops.metrics import center_crop_quarter, ssim
+    from miccai24_immoco_tpu.utils.hostio import put_complex
+
+    def corrupted_ssim(scenario):
+        c = _synthetic_corpus(2, 64, scenario, seed=3)
+        k = put_complex(c["kspace_motion"])
+        gt = put_complex(c["image_rss"])
+        rec = jax.vmap(ifft2c)(k)
+        return float(
+            ssim(
+                center_crop_quarter(jnp.abs(rec)[:, None]),
+                center_crop_quarter(jnp.abs(gt)[:, None]),
+            )
+        )
+
+    assert corrupted_ssim("hard") < corrupted_ssim("heavy")
