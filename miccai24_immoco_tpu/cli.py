@@ -77,20 +77,26 @@ def _synthetic_corpus(n: int, size: int, scenario: str, seed: int = 0):
     # reference's fastMRI tables have corrupted SSIM ~0.7-0.85, which the
     # default light/heavy phantom corpora never reach (too easy for the
     # learned baselines to demonstrate their reference behavior).  18
-    # movements at rot/shift +-15, corrupted-band widths 1-16 lands the
-    # corrupted baseline at ~0.77 SSIM (calibrated round 4, 320^2
-    # quarter-crop).
+    # movements at rot/shift +-15, corrupted-band widths 4-20 on the
+    # NOISE-FREE phantom twin lands the corrupted baseline at ~0.85 SSIM
+    # (calibrated round 4, 320^2 quarter-crop).  Noise-free on BOTH sides:
+    # the phantom texture noise is unreproducible by any resampling method
+    # (the unitary-corruption realization confound, PERFORMANCE.md
+    # "Heavy-PSNR root cause"), which suppressed every baseline by
+    # ~0.01-0.05 SSIM in the round-4 probes (scripts/probe_hard_regime.py
+    # candidates A/B noisy vs D/E noise-free).
     n_mov = {"light": 8, "heavy": 18, "hard": 18}[scenario]
     sim_cfg = (
         MotionSimConfig(
             shift_range=(-15, 15),
             rotate_range=(-15, 15),
-            width_range=(1, 16),
+            width_range=(4, 20),
         )
         if scenario == "hard"
         else MotionSimConfig()
     )
-    images = phantom_stack(n, size, size, seed=seed)
+    images = phantom_stack(n, size, size, seed=seed,
+                           noise=(scenario != "hard"))
     sims = simulate_motion_batch(
         jax.random.PRNGKey(seed), images, n_movements=n_mov, cfg=sim_cfg,
         max_movements=24,

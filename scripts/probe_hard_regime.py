@@ -39,22 +39,31 @@ from miccai24_immoco_tpu.config import (
 )
 
 CANDIDATES = {
-    # name -> (n_movements, MotionSimConfig)  [corrupted SSIM on 4 slices]
+    # name -> (n_movements, MotionSimConfig, noisy_gt)
+    # [corrupted SSIM on 4 slices in the comment]
     "A": (18, MotionSimConfig(shift_range=(-15, 15), rotate_range=(-15, 15),
-                              width_range=(1, 16))),   # ~0.77
+                              width_range=(1, 16)), True),   # ~0.77
     "B": (12, MotionSimConfig(shift_range=(-15, 15), rotate_range=(-15, 15),
-                              width_range=(4, 16))),   # ~0.80
+                              width_range=(4, 16)), True),   # ~0.80
     "C": (12, MotionSimConfig(shift_range=(-12, 12), rotate_range=(-12, 12),
-                              width_range=(6, 20))),   # ~0.76
+                              width_range=(6, 20)), True),   # ~0.76
+    # Noise-FREE variants: the phantom texture noise is unreproducible by
+    # any resampling method (the unitary-corruption realization confound,
+    # PERFORMANCE.md "Heavy-PSNR root cause"), so the reference-regime
+    # scenario corrupts the noise-free twin and scores against it.
+    "D": (18, MotionSimConfig(shift_range=(-15, 15), rotate_range=(-15, 15),
+                              width_range=(4, 20)), False),  # ~0.83
+    "E": (24, MotionSimConfig(shift_range=(-15, 15), rotate_range=(-15, 15),
+                              width_range=(1, 16)), False),  # ~0.81
 }
 
 
-def corpus_for(n, size, nmov, sim_cfg, seed=2024):
+def corpus_for(n, size, nmov, sim_cfg, seed=2024, noise=True):
     from miccai24_immoco_tpu.data.synthetic import phantom_stack
     from miccai24_immoco_tpu.ops.motion_sim import simulate_motion_batch
     from miccai24_immoco_tpu.utils.hostio import get_complex
 
-    images = phantom_stack(n, size, size, seed=seed)
+    images = phantom_stack(n, size, size, seed=seed, noise=noise)
     sims = simulate_motion_batch(
         jax.random.PRNGKey(seed), images, n_movements=nmov, cfg=sim_cfg,
         max_movements=24,
@@ -101,8 +110,8 @@ def main():
 
     summary = {}
     for name in names:
-        nmov, sim_cfg = CANDIDATES[name]
-        corpus = corpus_for(n, 320, nmov, sim_cfg)
+        nmov, sim_cfg, noisy = CANDIDATES[name]
+        corpus = corpus_for(n, 320, nmov, sim_cfg, noise=noisy)
         @jax.jit
         def _corr(ksp_b, gt_b):
             def one(ksp, gt):

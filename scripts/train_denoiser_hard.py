@@ -1,0 +1,107 @@
+"""Fine-tune the distributed denoiser on the round-4 "hard" distribution.
+
+The reference's denoiser demonstrably improves its inputs in the fastMRI
+regime (corrupted SSIM ~0.7-0.85, src/test/test_unet_denoiser.py:53-158).
+Round-4 probes (scripts/probe_hard_regime.py) show denoiser_full — trained
+on the DEFAULT sim severity — already wins PSNR/HaarPSI on the noise-free
+hard scenario but loses ~0.013 SSIM: it is out of distribution (the hard
+scenario corrupts with rot/shift +-15, widths 4-20, noise-free phantoms).
+This fine-tunes denoiser_full in-distribution for a few thousand steps,
+gated on held-out SSIM improvement exactly like the full recipe.
+
+Usage: python scripts/train_denoiser_hard.py [steps=2000] [out]
+Env: DH_SEED (0)
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from miccai24_immoco_tpu.utils.compile_cache import enable_compile_cache
+
+enable_compile_cache()
+
+import jax
+import jax.numpy as jnp
+
+from miccai24_immoco_tpu.config import MotionSimConfig
+from miccai24_immoco_tpu.data.synthetic import phantom_stack
+from miccai24_immoco_tpu.ops.fft import fft2c
+from miccai24_immoco_tpu.train.train_denoiser import (
+    DenoiserTrainConfig,
+    make_denoiser_trainer,
+)
+from miccai24_immoco_tpu.utils.checkpoint import save
+
+# The committed "hard" scenario definition (cli._synthetic_corpus).
+HARD_SIM = MotionSimConfig(
+    shift_range=(-15, 15), rotate_range=(-15, 15), width_range=(4, 20)
+)
+
+
+def main():
+    steps = int(sys.argv[1]) if len(sys.argv) > 1 else 2000
+    out = sys.argv[2] if len(sys.argv) > 2 else os.path.join(
+        os.path.dirname(__file__), "..", "artifacts", "denoiser_hard",
+        "denoiser_hard",
+    )
+    seed = int(os.environ.get("DH_SEED", "0"))
+
+    from miccai24_immoco_tpu.cli import _load_denoiser
+
+    net, params = _load_denoiser("denoiser_full")
+
+    # Noise-free phantom corpus, DISTINCT seed range from the frozen
+    # seed-2024 eval corpora (train seeds 0..47 vs eval 2024..2073).
+    images = phantom_stack(48, 320, 320, seed=seed, noise=False)
+    ksp = jax.jit(fft2c)(images)
+    train, val = ksp[:40], ksp[40:]
+
+    cfg = DenoiserTrainConfig(steps=steps)
+    init_fn, _, _, segment_fn = make_denoiser_trainer(
+        net, cfg, HARD_SIM, (320, 320)
+    )
+    key = jax.random.PRNGKey(cfg.seed)
+    key, ik = jax.random.split(key)
+    _params0, opt_state = init_fn(ik)
+    del _params0  # fine-tune: start from the distributed checkpoint
+
+    best_gain = jnp.asarray(-jnp.inf, jnp.float32)
+    best_params = params
+    done = 0
+    t0 = time.time()
+    while done < steps:
+        seg = min(20, steps - done)
+        (params, opt_state, key, best_gain, best_params, losses, stats) = (
+            segment_fn(
+                params, opt_state, key, train, val, best_gain, best_params,
+                seg_len=seg,
+            )
+        )
+        done += seg
+        if done % 100 < seg or done >= steps:
+            print(
+                f"step {done}: loss {float(losses[-1]):.4f} "
+                f"ssim {float(stats['ssim'][-1]):.4f} "
+                f"gain {float(stats['ssim_gain'][-1]):+.4f} "
+                f"best {float(best_gain):+.4f} "
+                f"({(time.time()-t0)/done:.2f} s/step)",
+                flush=True,
+            )
+            save(out, best_params, {
+                "unet": {"in_chans": 1, "out_chans": 1,
+                         "chans": net.chans,
+                         "num_pool_layers": net.num_pool_layers,
+                         "norm": "instance"},
+                "steps_done": done,
+                "best_gain": float(best_gain),
+                "finetuned_from": "denoiser_full",
+                "sim": "hard (shift/rot +-15, widths 4-20, noise-free)",
+            })
+    print("final best_gain", float(best_gain), "->", out)
+
+
+if __name__ == "__main__":
+    main()
