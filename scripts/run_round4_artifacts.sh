@@ -17,11 +17,14 @@ if [ "$STEP" = all ] || [ "$STEP" = light ]; then
 fi
 
 # --- 2. heavy e2e at the EXACT heavy recipe (150 it, c2f 38@256,
-#        freeze 34, duty 10x10, bucket 18) + best-of-3 restarts (the
-#        measured init-seed-tail mitigation, select=loss) ---------------
+#        freeze 34, duty 10x10, bucket 18).  NO restarts: best-of-3 with
+#        select=loss was MEASURED net-harmful here (round 4: 18 vs 13
+#        clean-psnr-regressing slices, mean psnr -0.75 dB vs the plain
+#        protocol - the final-loss criterion favors seeds that overfit
+#        the corrupted data) ------------------------------------------
 if [ "$STEP" = all ] || [ "$STEP" = heavy ]; then
   E2E_ITERS=150 E2E_C2F=38@256 E2E_FREEZE=34 E2E_DUTY=10x10 E2E_MOTRES=4 \
-  E2E_BUCKETS=18 E2E_RESTARTS=3 E2E_SELECT=loss E2E_DIAG=1 \
+  E2E_BUCKETS=18 E2E_DIAG=1 \
   E2E_OUT=results/e2e_r4_heavy \
   timeout 10800 $PY scripts/e2e_eval.py 50 heavy
 fi
@@ -29,7 +32,7 @@ fi
 # --- 3. hard e2e (reference-regime severity; heavy recipe) -------------
 if [ "$STEP" = all ] || [ "$STEP" = hard ]; then
   E2E_ITERS=150 E2E_C2F=38@256 E2E_FREEZE=34 E2E_DUTY=10x10 E2E_MOTRES=4 \
-  E2E_BUCKETS=18 E2E_RESTARTS=3 E2E_SELECT=loss E2E_DIAG=1 \
+  E2E_BUCKETS=18 E2E_DIAG=1 \
   E2E_OUT=results/e2e_r4_hard \
   timeout 10800 $PY scripts/e2e_eval.py 50 hard
 fi
