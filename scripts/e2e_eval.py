@@ -106,7 +106,14 @@ def main():
             max_movements=max_mov,
             image_inr=ImageINRConfig(encoding="lattice"),
             motion_inr=MotionINRConfig(encoding="lattice"),
-            motion_disp_px=30,
+            # E2E_DISPCAP: displacement cap; >31 also widens the frozen-
+            # tail tile so the tiled frozen weights stay exact (the hard
+            # scenario runs E2E_WARP=matmul E2E_DISPCAP=50 — the dense
+            # warp is displacement-unbounded like the reference).
+            motion_disp_px=float(os.environ.get("E2E_DISPCAP", "30")),
+            motion_freeze_tile_px=(
+                64 if float(os.environ.get("E2E_DISPCAP", "30")) > 31 else 32
+            ),
             warp_impl=os.environ.get("E2E_WARP", "pallas_tiled"),
             compute_dtype=os.environ.get("E2E_DTYPE", "bfloat16"),
             dc_replace=bool(int(os.environ.get("E2E_DC", "0"))),

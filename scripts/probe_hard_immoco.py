@@ -40,6 +40,14 @@ CANDIDATES = {
     "H": (18, MotionSimConfig(shift_range=(-15, 15),
                               rotate_range=(-15, 15),
                               width_range=(4, 20))),            # the failed one
+    # Controls after F/G both regressed: F showed the fit collapses when
+    # wide bands leave ~no uncorrupted k-space anchor (22 x 8-24-wide bands
+    # cover ~all 320 columns; the forward model's (1 - sum(masks)) term is
+    # ~empty), INDEPENDENT of motion amplitude.  J isolates the noise-free
+    # variable (heavy bands + heavy motion, noise-free); I adds +-12 motion.
+    "I": (18, MotionSimConfig(shift_range=(-12, 12),
+                              rotate_range=(-12, 12))),         # w1-10
+    "J": (18, MotionSimConfig()),                               # heavy, NF
 }
 
 
@@ -53,13 +61,21 @@ def main():
     from scripts.probe_hard_regime import corpus_for
 
     kld = weights.load_kld(weights.best_kld_name())
+    # HI_WARP=matmul HI_CAP=50: the hard-scenario recipe candidate — the
+    # dense one-hot matmul warp is exact for ANY displacement (the
+    # reference allows the full range), lifting the pallas_tiled 30 px
+    # bound that breaks the fit at rot/shift +-12..15.  freeze_tile 64
+    # keeps the frozen tail valid for caps up to 63.
+    warp = os.environ.get("HI_WARP", "pallas_tiled")
+    cap = float(os.environ.get("HI_CAP", "30"))
     cfg = InstanceFitConfig(
-        iters=150,
+        iters=int(os.environ.get("HI_ITERS", "150")),
         max_movements=24,
         image_inr=ImageINRConfig(encoding="lattice"),
         motion_inr=MotionINRConfig(encoding="lattice"),
-        motion_disp_px=30,
-        warp_impl="pallas_tiled",
+        motion_disp_px=cap,
+        warp_impl=warp,
+        motion_freeze_tile_px=64 if cap > 31 else 32,
         compute_dtype="bfloat16",
         motion_res_factor=4,
         coarse_iters=38,
