@@ -17,7 +17,8 @@ from miccai24_immoco_tpu.utils.hostio import put_complex
 
 
 def brain_phantom_np(
-    h: int = 320, w: int = 320, seed: int = 5, noise: bool = True
+    h: int = 320, w: int = 320, seed: int = 5, noise: bool = True,
+    texture: float = 0.0, texture_sigma: float = 2.0,
 ) -> np.ndarray:
     """(h, w) complex64 phantom on host.
 
@@ -29,6 +30,15 @@ def brain_phantom_np(
     the GT's exact noise realization and scores an inflated PSNR against the
     noisy GT, while any denoising reconstruction is penalized by the
     ~24-26 dB noisy-GT floor (PERFORMANCE.md, heavy-PSNR diagnosis).
+
+    ``texture``: amplitude of STRUCTURED (gaussian-low-pass, sigma
+    ``texture_sigma`` px) texture added inside the brain region.  Unlike
+    the white ``noise`` term, this texture is anatomy-like: it survives
+    bilinear resampling (rotations interpolate it instead of destroying
+    the realization) and it makes SSIM decay under motion corruption the
+    way real fastMRI anatomy does — the smooth default phantom holds
+    corrupted SSIM ~0.9+ at corruption levels where the reference's
+    corpora sit at ~0.7-0.85 (round-4 hard-scenario calibration).
     """
     rng = np.random.default_rng(seed)
     yy, xx = np.mgrid[:h, :w].astype(np.float32)
@@ -45,6 +55,18 @@ def brain_phantom_np(
         )
     tex = rng.standard_normal((h, w)).astype(np.float32)
     img += 0.05 * tex if noise else 0.0
+    if texture > 0.0:
+        # Structured texture: gaussian-low-pass white noise (FFT filter),
+        # unit-RMS-normalized, masked to the brain interior.
+        t = rng.standard_normal((h, w)).astype(np.float32)
+        fy = np.fft.fftfreq(h)[:, None]
+        fx = np.fft.fftfreq(w)[None, :]
+        g = np.exp(
+            -2.0 * (np.pi * texture_sigma) ** 2 * (fy**2 + fx**2)
+        ).astype(np.float32)
+        t = np.fft.ifft2(np.fft.fft2(t) * g).real.astype(np.float32)
+        t /= max(float(t.std()), 1e-12)
+        img += texture * t * (r < 0.88)
     img = np.clip(img, 0, None)
     phase = 0.4 * np.sin(yy / 23.0) * np.cos(xx / 17.0)
     return (img * np.exp(1j * phase)).astype(np.complex64)
@@ -56,10 +78,14 @@ def brain_phantom(h: int = 320, w: int = 320, seed: int = 5) -> jnp.ndarray:
 
 
 def phantom_stack(
-    n: int, h: int = 320, w: int = 320, seed: int = 0, noise: bool = True
+    n: int, h: int = 320, w: int = 320, seed: int = 0, noise: bool = True,
+    texture: float = 0.0, texture_sigma: float = 2.0,
 ) -> jnp.ndarray:
     """(n, h, w) complex64 stack of distinct phantoms."""
     return put_complex(
-        np.stack([brain_phantom_np(h, w, seed + i, noise=noise)
-                  for i in range(n)])
+        np.stack([
+            brain_phantom_np(h, w, seed + i, noise=noise, texture=texture,
+                             texture_sigma=texture_sigma)
+            for i in range(n)
+        ])
     )

@@ -184,28 +184,15 @@ def _figure(per_method, n, out_dir, kld, metric_apply, afp_params,
     ind = _line_indicators(ksp, None, kld, indicator_fn)
     masks18, _ = extract_movement_groups(ind, 320, 18)
 
-    if scenario == "hard":
-        # Hard-scenario recipe (round 4): the +-15 motions exceed the
-        # pallas_tiled displacement bound, so the figure fit matches the
-        # e2e hard protocol — dense matmul warp, 50 px cap, 64 px frozen
-        # tile (scripts/run_round4_artifacts.sh step 3).
-        cfg = InstanceFitConfig(
-            iters=150, max_movements=18, motion_disp_px=50,
-            warp_impl="matmul", motion_freeze_tile_px=64,
-            compute_dtype="bfloat16", motion_res_factor=4,
-            coarse_iters=38, coarse_size=256,
-            motion_freeze_iters=34, motion_duty=(10, 10),
-        )
-    else:
-        # Tuned heavy production config (PERFORMANCE.md round-3 heavy
-        # recipe — same as the e2e_round3 heavy artifact so compiled
-        # graphs are shared).
-        cfg = InstanceFitConfig(
-            iters=160, max_movements=18, motion_disp_px=30,
-            warp_impl="pallas_tiled", compute_dtype="bfloat16",
-            motion_res_factor=4, coarse_iters=40, coarse_size=256,
-            motion_freeze_iters=40, motion_duty=(10, 10),
-        )
+    # Tuned heavy production config (PERFORMANCE.md round-3 heavy recipe);
+    # the hard scenario (round 4) keeps the heavy sim severity on the
+    # textured noise-free phantom, so the same recipe applies there.
+    cfg = InstanceFitConfig(
+        iters=160, max_movements=18, motion_disp_px=30,
+        warp_impl="pallas_tiled", compute_dtype="bfloat16",
+        motion_res_factor=4, coarse_iters=40, coarse_size=256,
+        motion_freeze_iters=40, motion_duty=(10, 10),
+    )
     r = motion_correct(ksp, masks18, cfg, segment_len=50)
 
     af = jax.jit(make_autofocus_fit(AutofocusingConfig(iters=af_iters)))(

@@ -48,7 +48,10 @@ CANDIDATES = {
     "I": (18, MotionSimConfig(shift_range=(-12, 12),
                               rotate_range=(-12, 12))),         # w1-10
     "J": (18, MotionSimConfig()),                               # heavy, NF
+    # T = the committed hard scenario: heavy sim on the textured phantom.
+    "T": (18, MotionSimConfig()),
 }
+TEXTURES = {"T": 0.15}
 
 
 def main():
@@ -86,7 +89,8 @@ def main():
     summary = {}
     for name in names:
         nmov, sim_cfg = CANDIDATES[name]
-        corpus = corpus_for(n, 320, nmov, sim_cfg, noise=False)
+        corpus = corpus_for(n, 320, nmov, sim_cfg, noise=False,
+                            texture=TEXTURES.get(name, 0.0))
         from miccai24_immoco_tpu.ops.fft import ifft2c
         from miccai24_immoco_tpu.ops.metrics import (
             calmetric2d,

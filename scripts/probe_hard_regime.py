@@ -55,15 +55,21 @@ CANDIDATES = {
                               width_range=(4, 20)), False),  # ~0.83
     "E": (24, MotionSimConfig(shift_range=(-15, 15), rotate_range=(-15, 15),
                               width_range=(1, 16)), False),  # ~0.81
+    # T = the COMMITTED hard scenario (round 4 final): heavy sim severity
+    # on the structured-texture noise-free phantom (texture 0.15, sigma 2)
+    # — corrupted ~0.80 with every method inside its operating envelope.
+    "T": (18, MotionSimConfig(), False),
 }
+TEXTURES = {"T": 0.15}
 
 
-def corpus_for(n, size, nmov, sim_cfg, seed=2024, noise=True):
+def corpus_for(n, size, nmov, sim_cfg, seed=2024, noise=True, texture=0.0):
     from miccai24_immoco_tpu.data.synthetic import phantom_stack
     from miccai24_immoco_tpu.ops.motion_sim import simulate_motion_batch
     from miccai24_immoco_tpu.utils.hostio import get_complex
 
-    images = phantom_stack(n, size, size, seed=seed, noise=noise)
+    images = phantom_stack(n, size, size, seed=seed, noise=noise,
+                           texture=texture)
     sims = simulate_motion_batch(
         jax.random.PRNGKey(seed), images, n_movements=nmov, cfg=sim_cfg,
         max_movements=24,
@@ -111,7 +117,8 @@ def main():
     summary = {}
     for name in names:
         nmov, sim_cfg, noisy = CANDIDATES[name]
-        corpus = corpus_for(n, 320, nmov, sim_cfg, noise=noisy)
+        corpus = corpus_for(n, 320, nmov, sim_cfg, noise=noisy,
+                            texture=TEXTURES.get(name, 0.0))
         @jax.jit
         def _corr(ksp_b, gt_b):
             def one(ksp, gt):

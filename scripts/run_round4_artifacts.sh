@@ -29,14 +29,12 @@ if [ "$STEP" = all ] || [ "$STEP" = heavy ]; then
   timeout 10800 $PY scripts/e2e_eval.py 50 heavy
 fi
 
-# --- 3. hard e2e (reference-regime severity).  The +-15 motions exceed
-#        the pallas_tiled 30 px displacement bound (the capped fit
-#        REGRESSED on this corpus), so the hard recipe runs the dense
-#        matmul warp — exact for any displacement, like the reference —
-#        with a 50 px cap and the 64 px frozen-tail tile. ---------------
+# --- 3. hard e2e (reference-regime severity: heavy sim on the textured
+#        noise-free phantom — corrupted SSIM ~0.80; the heavy recipe
+#        applies unchanged) --------------------------------------------
 if [ "$STEP" = all ] || [ "$STEP" = hard ]; then
   E2E_ITERS=150 E2E_C2F=38@256 E2E_FREEZE=34 E2E_DUTY=10x10 E2E_MOTRES=4 \
-  E2E_BUCKETS=18 E2E_DIAG=1 E2E_WARP=matmul E2E_DISPCAP=50 \
+  E2E_BUCKETS=18 E2E_DIAG=1 \
   E2E_OUT=results/e2e_r4_hard \
   timeout 10800 $PY scripts/e2e_eval.py 50 hard
 fi

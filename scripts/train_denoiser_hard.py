@@ -35,10 +35,10 @@ from miccai24_immoco_tpu.train.train_denoiser import (
 )
 from miccai24_immoco_tpu.utils.checkpoint import save
 
-# The committed "hard" scenario definition (cli._synthetic_corpus).
-HARD_SIM = MotionSimConfig(
-    shift_range=(-15, 15), rotate_range=(-15, 15), width_range=(4, 20)
-)
+# The committed "hard" scenario definition (cli._synthetic_corpus):
+# heavy sim severity on the textured noise-free phantom.
+HARD_SIM = MotionSimConfig()
+TEXTURE = 0.15
 
 
 def main():
@@ -55,7 +55,8 @@ def main():
 
     # Noise-free phantom corpus, DISTINCT seed range from the frozen
     # seed-2024 eval corpora (train seeds 0..47 vs eval 2024..2073).
-    images = phantom_stack(48, 320, 320, seed=seed, noise=False)
+    images = phantom_stack(48, 320, 320, seed=seed, noise=False,
+                           texture=TEXTURE)
     ksp = jax.jit(fft2c)(images)
     train, val = ksp[:40], ksp[40:]
 
@@ -98,7 +99,7 @@ def main():
                 "steps_done": done,
                 "best_gain": float(best_gain),
                 "finetuned_from": "denoiser_full",
-                "sim": "hard (shift/rot +-15, widths 4-20, noise-free)",
+                "sim": "hard (heavy sim severity, textured noise-free phantom)",
             })
     print("final best_gain", float(best_gain), "->", out)
 
