@@ -45,6 +45,13 @@ REGISTRY: Dict[str, str] = {
     # `cli train-denoiser --synthetic 200 --size 320 --steps 10000
     #  --chans 32 --pools 6`.
     "denoiser_full": os.path.join(_ROOT, "artifacts", "denoiser_full"),
+    # denoiser_full fine-tuned in-distribution on the round-4 "hard"
+    # scenario (heavy sim severity, textured noise-free phantoms; 2000
+    # steps, gated held-out ssim_gain +0.257) — scripts/
+    # train_denoiser_hard.py.  Used by the hard method comparison.
+    "denoiser_hard": os.path.join(
+        _ROOT, "artifacts", "denoiser_hard", "denoiser_hard"
+    ),
     # (Round-3 note: the former "afplus_scaled" entry pointed at a
     # machine-local uncommitted path and broke the fresh-clone restore
     # guarantee — VERDICT r2 weak #6.  It was dropped; the committed

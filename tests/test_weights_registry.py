@@ -26,6 +26,9 @@ COMMITTED = (
     # comment); full checkpoint (params + opt_state + step metadata) so
     # cross-round resume survives machine resets.
     "afplus_small",
+    # Round-4: denoiser_full fine-tuned in-distribution on the hard
+    # scenario (scripts/train_denoiser_hard.py, gated ssim_gain +0.257).
+    "denoiser_hard",
 )
 
 
