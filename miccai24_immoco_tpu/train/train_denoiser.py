@@ -88,6 +88,29 @@ def denoiser_loss(output, target):
     return (1 - 0.84) * l1 + 0.84 * (1.0 - _ssim_nonneg_255(target, output))
 
 
+def _crop_ssim(output, target):
+    """The eval protocol's SSIM, differentiably: quarter-crop then min-max
+    normalize then SSIM at data_range 1.0 (reference calmetric2D,
+    evaluate.py:57-80 on the test_immoco.py:77-81 crop)."""
+    from miccai24_immoco_tpu.ops.metrics import center_crop_quarter
+
+    o = _minmax(center_crop_quarter(output))[:, None]
+    t = _minmax(center_crop_quarter(target))[:, None]
+    return ssim_metric(o, t, 1.0)
+
+
+def denoiser_loss_crop(output, target):
+    """Crop-matched fine-tune loss (no reference counterpart — a deliberate
+    divergence for the round-4 "hard" fine-tune): keep the reference's L1
+    term but score the SSIM term on the quarter-crop minmax pair the eval
+    protocol actually measures.  The whole-image loss rewards
+    background-ringing cleanup the crop never sees (train_denoiser_hard.py
+    round-4 note), which is why the first hard fine-tune won its internal
+    gate yet lost the protocol metric."""
+    l1 = jnp.abs(_minmax(output) - _minmax(target)).sum() / output.size
+    return (1 - 0.84) * l1 + 0.84 * (1.0 - _crop_ssim(output, target))
+
+
 def denoise_input(kspace: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """(B, H, W) complex -> ((B, H, W, 1) net input, (B, 1, 1) scale)."""
     img = jnp.abs(ifft2c(kspace))
@@ -100,12 +123,17 @@ def make_denoiser_trainer(
     cfg: DenoiserTrainConfig,
     sim_cfg: MotionSimConfig = MotionSimConfig(),
     image_shape: Tuple[int, int] = (320, 320),
+    crop_match: bool = False,
 ):
+    """``crop_match=True`` switches BOTH the loss's SSIM term and the
+    best-checkpoint gate to the eval protocol's quarter-crop minmax SSIM
+    (see denoiser_loss_crop).  Default False = exact reference recipe."""
     from miccai24_immoco_tpu.utils.schedules import cosine_annealing
 
     h, w = image_shape
     schedule = cosine_annealing(cfg.learning_rate, cfg.anneal_t_max)
     opt = optax.adamw(schedule)
+    loss_fn_used = denoiser_loss_crop if crop_match else denoiser_loss
 
     def init_fn(key):
         params = net.init(
@@ -120,7 +148,7 @@ def make_denoiser_trainer(
 
         def loss_fn(p):
             out = net.apply({"params": p}, x, train=True)[..., 0]
-            return denoiser_loss(out, target)
+            return loss_fn_used(out, target)
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
         updates, opt_state = opt.update(grads, opt_state, params)
@@ -138,10 +166,15 @@ def make_denoiser_trainer(
         # Validation metric parity: the reference logs/gates on REAL ssim
         # (normalize_image + data_range=1.0, train_unet_denoiser.py:183-187,
         # 197-206), not the data_range=255 variant its LOSS uses.
-        s_fit = ssim_metric(nm(out), nm(target), 1.0)
-        s_corrupt = ssim_metric(nm(x[..., 0]), nm(target), 1.0)
+        # crop_match gates on the eval protocol's quarter-crop SSIM instead.
+        if crop_match:
+            s_fit = _crop_ssim(out, target)
+            s_corrupt = _crop_ssim(x[..., 0], target)
+        else:
+            s_fit = ssim_metric(nm(out), nm(target), 1.0)
+            s_corrupt = ssim_metric(nm(x[..., 0]), nm(target), 1.0)
         return {
-            "loss": denoiser_loss(out, target),
+            "loss": loss_fn_used(out, target),
             "ssim": s_fit,
             # SIGNED improvement.  This was jnp.abs(s_fit - s_corrupt),
             # which inverted the best-checkpoint gate: an early garbage

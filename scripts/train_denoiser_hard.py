@@ -10,7 +10,10 @@ This fine-tunes denoiser_full in-distribution for a few thousand steps,
 gated on held-out SSIM improvement exactly like the full recipe.
 
 Usage: python scripts/train_denoiser_hard.py [steps=2000] [out]
-Env: DH_SEED (0)
+Env: DH_SEED (0); DH_FROM (denoiser_full) start checkpoint;
+DH_CROP=1 switches loss SSIM term + checkpoint gate to the eval
+protocol's quarter-crop minmax SSIM (train_denoiser.denoiser_loss_crop)
+— the round-4 lever for the whole-image-gate/crop-eval mismatch.
 """
 
 import os
@@ -53,10 +56,12 @@ def main():
         "denoiser_hard",
     )
     seed = int(os.environ.get("DH_SEED", "0"))
+    crop_match = os.environ.get("DH_CROP", "0") == "1"
+    from_ckpt = os.environ.get("DH_FROM", "denoiser_full")
 
     from miccai24_immoco_tpu.cli import _load_denoiser
 
-    net, params = _load_denoiser("denoiser_full")
+    net, params = _load_denoiser(from_ckpt)
 
     # Noise-free phantom corpus, DISTINCT seed range from the frozen
     # seed-2024 eval corpora (train seeds 0..47 vs eval 2024..2073).
@@ -67,7 +72,7 @@ def main():
 
     cfg = DenoiserTrainConfig(steps=steps)
     init_fn, _, _, segment_fn = make_denoiser_trainer(
-        net, cfg, HARD_SIM, (320, 320)
+        net, cfg, HARD_SIM, (320, 320), crop_match=crop_match
     )
     key = jax.random.PRNGKey(cfg.seed)
     key, ik = jax.random.split(key)
@@ -103,7 +108,8 @@ def main():
                          "norm": "instance"},
                 "steps_done": done,
                 "best_gain": float(best_gain),
-                "finetuned_from": "denoiser_full",
+                "finetuned_from": from_ckpt,
+                "crop_match": crop_match,
                 "sim": "hard (heavy sim severity, textured noise-free phantom)",
             })
     print("final best_gain", float(best_gain), "->", out)

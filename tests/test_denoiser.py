@@ -13,6 +13,7 @@ from miccai24_immoco_tpu.train.train_denoiser import (
     DenoiserTrainConfig,
     denoise,
     denoiser_loss,
+    denoiser_loss_crop,
     make_denoiser_trainer,
 )
 
@@ -51,3 +52,39 @@ def test_denoiser_train_step_reduces_loss():
     out = denoise(net, params, ksp[:1])
     assert out.shape == (1, 48, 48)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_denoiser_loss_crop_scores_crop_only(rng):
+    """The crop-matched loss's SSIM term must ignore the outer quarter
+    margins the eval protocol never sees (ops/metrics.center_crop_quarter)."""
+    x = jnp.asarray(rng.random((1, 64, 64)).astype(np.float32))
+    assert float(denoiser_loss_crop(x, x)) < 1e-3
+    # Corrupt ONLY the outer margin: crop loss stays near zero (its L1 term
+    # still sees the margin, so compare against the whole-image loss).
+    y = x.at[:, :8, :].add(0.5)
+    assert float(denoiser_loss_crop(x, y)) < float(denoiser_loss(x, y))
+    # Corrupt only the center: both penalize.
+    z = x.at[:, 24:40, 24:40].add(0.5)
+    assert float(denoiser_loss_crop(x, z)) > 0.05
+
+
+def test_denoiser_crop_match_gate_uses_crop_metric():
+    """crop_match=True trains + gates on quarter-crop SSIM gain; the
+    segment path must run and track a finite best gain."""
+    images = phantom_stack(4, 48, 48, seed=4)
+    ksp = fft2c(images)
+    net = build_unet(UnetConfig(in_chans=1, out_chans=1, chans=4,
+                                num_pool_layers=2, norm="instance"))
+    cfg = DenoiserTrainConfig(steps=4, batch_size=1)
+    init_fn, _, eval_step, seg = make_denoiser_trainer(
+        net, cfg, image_shape=(48, 48), crop_match=True
+    )
+    params, opt_state = init_fn(jax.random.PRNGKey(0))
+    bg = jnp.asarray(-jnp.inf, jnp.float32)
+    params, opt_state, _, bg, bp, losses, stats = seg(
+        params, opt_state, jax.random.PRNGKey(1), ksp[:3], ksp[3:],
+        bg, params, seg_len=3,
+    )
+    assert np.isfinite(np.asarray(losses)).all()
+    assert np.isfinite(float(bg))
+    assert float(bg) == float(np.max(np.asarray(stats["ssim_gain"])))
