@@ -540,16 +540,39 @@ def run_afplus(
     return metrics
 
 
-def run_denoiser(corpus: dict, net, params, limit: Optional[int] = None):
-    from miccai24_immoco_tpu.train.train_denoiser import denoise
+def run_denoiser(
+    corpus: dict, net, params, limit: Optional[int] = None,
+    kld: Optional[dict] = None,
+):
+    """``kld={"net", "params"}`` switches to the DC-projected variant
+    (train_denoiser.denoise_dc): detector-predicted clean columns are kept
+    verbatim, the denoiser fills only corrupted columns."""
+    import jax
+
+    from miccai24_immoco_tpu.train.train_denoiser import denoise, denoise_dc
+    from miccai24_immoco_tpu.train.train_kld import (
+        mask_to_line_indicators,
+        predict_line_mask,
+    )
 
     ks_all = corpus["kspace_motion"]
     gt_all = corpus["image_rss"]
     n = ks_all.shape[0] if limit is None else min(limit, ks_all.shape[0])
     gt_clean_all = corpus.get("image_clean")
+
+    if kld is not None:
+        @jax.jit
+        def _dc_forward(ksp):
+            pred = predict_line_mask(kld["net"], kld["params"], ksp)
+            ind = jax.vmap(mask_to_line_indicators)(pred)
+            return denoise_dc(net, params, ksp, ind)
+
     metrics = []
     for i in range(n):
-        out = denoise(net, params, put_complex(ks_all[i])[None])[0]
+        if kld is not None:
+            out = _dc_forward(put_complex(ks_all[i])[None])[0]
+        else:
+            out = denoise(net, params, put_complex(ks_all[i])[None])[0]
         m = _metrics_dict(out, put_complex(gt_all[i]))
         if gt_clean_all is not None:
             m.update({f"{k}_clean": v for k, v in _metrics_dict(
