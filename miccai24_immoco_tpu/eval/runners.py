@@ -512,6 +512,7 @@ def run_afplus(
     *,
     metric_apply=None,
     params=None,
+    kld: Optional[dict] = None,
 ):
     """AF+ eval loop (test_afplus_original.py protocol).
 
@@ -519,7 +520,15 @@ def run_afplus(
     closed-over params become trace-time HLO constants) OR
     metric_apply=(params, img)->logits with params — the statics-discipline
     path required for real checkpoints on the remote-compile runtime; it
-    also lets several param sets share one compiled fit."""
+    also lets several param sets share one compiled fit.
+
+    ``kld``: DC-project the AF+ output like the denoiser's denoise_dc.
+    MEASURED NEGATIVE (round 4, 8-slice hard probe): 0.2995 ssim vs 0.8017
+    plain — AF+'s per-column phase ramps + NUFFT rotation globally
+    transform the image, so fft2c(result.image) no longer aligns with the
+    measured clean columns and the mixture ghosts.  DC helps only
+    geometry-preserving methods (the image-space denoiser).  Kept opt-in
+    for completeness."""
     ks_all = corpus["kspace_motion"]
     gt_all = corpus["image_rss"]
     n = ks_all.shape[0] if limit is None else min(limit, ks_all.shape[0])
@@ -528,10 +537,31 @@ def run_afplus(
         call = lambda k: fit_p(k, params)
     else:
         call = jax.jit(make_afplus_fit(metric_fn, cfg))
+
+    if kld is not None:
+        from miccai24_immoco_tpu.ops.fft import fft2c
+        from miccai24_immoco_tpu.train.train_kld import (
+            mask_to_line_indicators,
+            predict_line_mask,
+        )
+
+        # Statics discipline: detector params as a traced argument (see
+        # run_denoiser._dc_forward).
+        @jax.jit
+        def _dc_project(img_c, ksp, kld_params):
+            pred = predict_line_mask(kld["net"], kld_params, ksp[None])[0]
+            ind = mask_to_line_indicators(pred)
+            k_out = jnp.where(ind[None, :], fft2c(img_c), ksp)
+            return ifft2c(k_out)
+
     gt_clean_all = corpus.get("image_clean")
     metrics = []
     for i in range(n):
-        result = call(put_complex(ks_all[i]))
+        ksp_i = put_complex(ks_all[i])
+        result = call(ksp_i)
+        if kld is not None:
+            result = result._replace(
+                image=_dc_project(result.image, ksp_i, kld["params"]))
         m = _metrics_dict(result.image, put_complex(gt_all[i]))
         if gt_clean_all is not None:
             m.update({f"{k}_clean": v for k, v in _metrics_dict(
@@ -561,16 +591,21 @@ def run_denoiser(
     gt_clean_all = corpus.get("image_clean")
 
     if kld is not None:
+        # Statics discipline (CLAUDE.md landmine 5): BOTH param trees are
+        # traced arguments — closure capture bakes the U-Net weights into
+        # the HLO as constants (measured: 141 MB cache entry per
+        # checkpoint + minutes of constant folding).
         @jax.jit
-        def _dc_forward(ksp):
-            pred = predict_line_mask(kld["net"], kld["params"], ksp)
+        def _dc_forward(ksp, dn_params, kld_params):
+            pred = predict_line_mask(kld["net"], kld_params, ksp)
             ind = jax.vmap(mask_to_line_indicators)(pred)
-            return denoise_dc(net, params, ksp, ind)
+            return denoise_dc(net, dn_params, ksp, ind)
 
     metrics = []
     for i in range(n):
         if kld is not None:
-            out = _dc_forward(put_complex(ks_all[i])[None])[0]
+            out = _dc_forward(
+                put_complex(ks_all[i])[None], params, kld["params"])[0]
         else:
             out = denoise(net, params, put_complex(ks_all[i])[None])[0]
         m = _metrics_dict(out, put_complex(gt_all[i]))

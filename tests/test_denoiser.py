@@ -54,6 +54,26 @@ def test_denoiser_train_step_reduces_loss():
     assert np.isfinite(np.asarray(out)).all()
 
 
+def test_denoise_dc_projection_invariants():
+    """DC projection: all-clean indicators return the measured image
+    exactly; all-corrupted indicators return the plain denoiser output."""
+    from miccai24_immoco_tpu.ops.fft import ifft2c
+    from miccai24_immoco_tpu.train.train_denoiser import denoise_dc
+
+    images = phantom_stack(2, 64, 64, seed=1)
+    ksp = fft2c(images)
+    net = build_unet(UnetConfig(in_chans=1, out_chans=1, chans=4,
+                                num_pool_layers=2, norm="instance"))
+    params = net.init({"params": jax.random.PRNGKey(0)},
+                      jnp.zeros((1, 64, 64, 1)), train=False)["params"]
+    f = jax.jit(lambda k, ind: denoise_dc(net, params, k, ind))
+    out_clean = f(ksp, jnp.zeros((2, 64), bool))
+    assert float(jnp.abs(out_clean - jnp.abs(ifft2c(ksp))).max()) < 1e-5
+    out_corrupt = f(ksp, jnp.ones((2, 64), bool))
+    dn = jax.jit(lambda k: denoise(net, params, k))(ksp)
+    assert float(jnp.abs(out_corrupt - jnp.abs(dn)).max()) < 1e-5
+
+
 def test_denoiser_loss_crop_scores_crop_only(rng):
     """The crop-matched loss's SSIM term must ignore the outer quarter
     margins the eval protocol never sees (ops/metrics.center_crop_quarter)."""
