@@ -19,6 +19,8 @@ Usage: python scripts/method_comparison.py [n=50] [e2e_dir] [out_dir]
 Env: MC_SCENARIOS=light,heavy  MC_AFPLUS_CKPT=afplus_small
      MC_DENOISER=denoiser_full  MC_AF_ITERS / MC_AFP_ITERS (default 80)
      MC_FIGURE=1 (render the figure; needs one heavy IM-MoCo fit)
+     MC_DENOISER_DC=1 (default: add the DC-projected denoiser row,
+     train_denoiser.denoise_dc — 6 rows total)
 """
 
 import json
@@ -106,6 +108,14 @@ def main():
         per_method.setdefault("autofocusing", {})[scenario] = af
         per_method.setdefault("af_plus", {})[scenario] = afp
         per_method.setdefault("unet_denoiser", {})[scenario] = den
+        if os.environ.get("MC_DENOISER_DC", "1") == "1":
+            # DC-projected denoiser (train_denoiser.denoise_dc): the
+            # round-4-cont. variant that beats corrupted on the hard
+            # corpus (0.9029 vs 0.8491 ssim, PERFORMANCE.md).
+            dc = run_denoiser(corpus, den_net, den_params, limit=n, kld=kld)
+            print(f"{scenario} denoiser_dc: {(_t.time()-t3)/n:.2f} s/slice",
+                  flush=True)
+            per_method.setdefault("unet_denoiser_dc", {})[scenario] = dc
 
     # IM-MoCo + corrupted rows from the e2e report dir (same seed-2024
     # corpus — scripts/e2e_eval.py).
@@ -118,6 +128,8 @@ def main():
             corrupted[scenario]["per_slice"][:n])
 
     order = ["corrupted", "unet_denoiser", "autofocusing", "af_plus", "immoco"]
+    if "unet_denoiser_dc" in per_method:
+        order.insert(2, "unet_denoiser_dc")
     combined = {
         m: {s: aggregate(per_method[m][s]) for s in scenarios} for m in order
     }

@@ -81,6 +81,13 @@ def test_run_denoiser_and_kld(corpus):
         stats[0]
     )
 
+    # DC-projected variant: detector-clean columns kept verbatim.
+    dc = run_denoiser(
+        corpus, net, params, limit=1,
+        kld={"net": kld_net, "params": kld_params},
+    )
+    assert np.isfinite(dc[0]["rmse"])
+
 
 def test_run_immoco_batched_matches_serial(corpus):
     cfg = small_cfg("lattice", "lattice", iters=5, max_movements=4)
