@@ -53,6 +53,22 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+# Round-5 Mosaic tuning, probed on this backend (PERFORMANCE.md round 5):
+# - dimension_semantics lets Mosaic pipeline grid steps; the movement axis
+#   of the backward is "arbitrary" (d_win accumulates across it in VMEM),
+#   everything else is parallel.
+# - vmem_limit_bytes raises the default 16 MB scoped-VMEM cap (v5e has
+#   128 MB); the movement-stacked kernels (mov_chunk > 1) need it.
+_VMEM_LIMIT = 100 * 1024 * 1024
+
+
+def _cparams(*sem):
+    return pltpu.CompilerParams(
+        dimension_semantics=sem, vmem_limit_bytes=_VMEM_LIMIT
+    )
 
 
 def _interpret_default() -> bool:
@@ -203,6 +219,40 @@ def _build(planes, gy_px, gx_px, tile: int, win: int):
     return windows, gyl, gxl, (c, m, ny, nx, b, win, sys_, sxs_)
 
 
+def _mov_chunks(m: int, n: int, win: int, n_hats: int) -> int:
+    """Largest divisor of ``m`` whose stacked-row kernel fits the 16 MB
+    scoped-VMEM budget.  Peak estimate per grid step (bytes):
+    n_hats bf16 hat matrices + one f32 matmul intermediate + two bf16
+    row temporaries, all (mc*n, win).  Round-5: stacking mc movements
+    into the matmul ROW dimension (shared window = shared rhs) divides
+    the grid-step count by mc at identical total FLOPs — and the
+    per-grid-step launch floor (~18 us on this backend, see
+    scripts/probe_step_overhead.py / probe_hat_cost2.py: the kernel
+    *computation* is ~1.5 us/step) is the fit's real warp cost."""
+    # Empirical caps (this backend's Mosaic keeps every Python-unrolled
+    # channel iteration's temporaries live, so analytic estimates undershoot):
+    # fwd (2 hats) compiled at rows*win = 786K (mc=2, n=4096, win=96);
+    # bwd (4 hats + 3 matmuls x 2ch) OOMed there at 29.4M scoped but runs
+    # at 524K (the historical mc=1 win-128 production point).
+    # With _VMEM_LIMIT raised to 100 MB these scale ~6x beyond the 16 MB
+    # defaults (probed: fwd 786K elems compiled at 16 MB; bwd needed ~37 B
+    # per rows*win element).
+    cap = 3_200_000 if n_hats <= 2 else 1_600_000
+    for mc in range(m, 0, -1):
+        if m % mc:
+            continue
+        if mc * n * win <= cap:
+            return mc
+    return 1
+
+
+def _stack_mov(a: jnp.ndarray, mc: int) -> jnp.ndarray:
+    """(K, M, 1, n) -> (K, M/mc, 1, mc*n): contiguity-preserving reshape
+    (movement-major within a chunk), so Mosaic sees mc-fold longer rows."""
+    k, m, _, n = a.shape
+    return a.reshape(k, m // mc, 1, mc * n)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
 def _warp_tiled(planes, gy_px, gx_px, tile: int, win: int, interpret: bool):
     """planes (C, H, W) f32; gy/gx (M, Ho, Wo) pixel coords -> (M,Ho,Wo,C)."""
@@ -215,21 +265,30 @@ def _warp_tiled_fwd(planes, gy_px, gx_px, tile, win, interpret):
     c, m, ny, nx, b, win, _, _ = meta
     n = b * b
     k = ny * nx
+    mc = _mov_chunks(m, n, win, n_hats=2)
+    mcn = mc * n
+    mch = m // mc
     out = pl.pallas_call(
         functools.partial(_fwd_kernel, wy=win, wx=win, c=c),
-        grid=(k, m),
+        grid=(k, mch),
         in_specs=[
-            pl.BlockSpec((1, 1, 1, n), lambda i, j: (i, j, 0, 0)),
-            pl.BlockSpec((1, 1, 1, n), lambda i, j: (i, j, 0, 0)),
+            pl.BlockSpec((1, 1, 1, mcn), lambda i, j: (i, j, 0, 0)),
+            pl.BlockSpec((1, 1, 1, mcn), lambda i, j: (i, j, 0, 0)),
             pl.BlockSpec((1, c, win, win), lambda i, j: (i, 0, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, 1, c, n), lambda i, j: (i, j, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((k, m, c, n), jnp.float32),
+        out_specs=pl.BlockSpec((1, 1, c, mcn), lambda i, j: (i, j, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((k, mch, c, mcn), jnp.float32),
         interpret=interpret,
-    )(gyl, gxl, windows)
+        compiler_params=None if interpret else _cparams("parallel", "parallel"),
+    )(_stack_mov(gyl, mc), _stack_mov(gxl, mc), windows)
     # Residuals carry the already-built windows + window-local coords so the
     # backward skips _build's window stacking / tiling transposes entirely.
-    return _untile(out, m, ny, nx, b, c), (planes, windows, gyl, gxl)
+    out = (
+        out.reshape(ny, nx, mch, c, mc, b, b)
+        .transpose(2, 4, 0, 5, 1, 6, 3)
+        .reshape(m, ny * b, nx * b, c)
+    )
+    return out, (planes, windows, gyl, gxl)
 
 
 def _warp_tiled_bwd(tile, win, interpret, res, d_out):
@@ -242,38 +301,44 @@ def _warp_tiled_bwd(tile, win, interpret, res, d_out):
     sxs_ = _window_starts(w, nx, b, win)
     n = b * b
     k = ny * nx
+    mc = _mov_chunks(m, n, win, n_hats=4)
+    mcn = mc * n
+    mch = m // mc
     d_tiled = (
-        d_out.reshape(m, ny, b, nx, b, c)
-        .transpose(1, 3, 0, 5, 2, 4)
-        .reshape(k, m, c, n)
+        d_out.reshape(mch, mc, ny, b, nx, b, c)
+        .transpose(2, 4, 0, 6, 1, 3, 5)
+        .reshape(k, mch, c, mcn)
         .astype(jnp.float32)
     )
-    # Movement-step-indexed first-visit flag for the in-kernel d_win
-    # accumulation (see _bwd_kernel; (M, 1, n) so the block's trailing dims
-    # match the array's — the Mosaic block-shape constraint).
-    first = jnp.zeros((m, 1, n), jnp.float32).at[0].set(1.0)
+    # Movement-chunk-indexed first-visit flag for the in-kernel d_win
+    # accumulation (see _bwd_kernel; (MCH, 1, mcn) so the block's trailing
+    # dims match the array's — the Mosaic block-shape constraint).  Within a
+    # chunk the mc movements accumulate into d_win through the ay^T matmul
+    # itself (rows of all mc movements share the contraction).
+    first = jnp.zeros((mch, 1, mcn), jnp.float32).at[0].set(1.0)
     d_win, d_gyl, d_gxl = pl.pallas_call(
         functools.partial(_bwd_kernel, wy=win, wx=win, c=c),
-        grid=(k, m),
+        grid=(k, mch),
         in_specs=[
-            pl.BlockSpec((1, 1, n), lambda i, j: (j, 0, 0)),
-            pl.BlockSpec((1, 1, 1, n), lambda i, j: (i, j, 0, 0)),
-            pl.BlockSpec((1, 1, 1, n), lambda i, j: (i, j, 0, 0)),
+            pl.BlockSpec((1, 1, mcn), lambda i, j: (j, 0, 0)),
+            pl.BlockSpec((1, 1, 1, mcn), lambda i, j: (i, j, 0, 0)),
+            pl.BlockSpec((1, 1, 1, mcn), lambda i, j: (i, j, 0, 0)),
             pl.BlockSpec((1, c, win, win), lambda i, j: (i, 0, 0, 0)),
-            pl.BlockSpec((1, 1, c, n), lambda i, j: (i, j, 0, 0)),
+            pl.BlockSpec((1, 1, c, mcn), lambda i, j: (i, j, 0, 0)),
         ],
         out_specs=[
             pl.BlockSpec((1, c, win, win), lambda i, j: (i, 0, 0, 0)),
-            pl.BlockSpec((1, 1, 1, n), lambda i, j: (i, j, 0, 0)),
-            pl.BlockSpec((1, 1, 1, n), lambda i, j: (i, j, 0, 0)),
+            pl.BlockSpec((1, 1, 1, mcn), lambda i, j: (i, j, 0, 0)),
+            pl.BlockSpec((1, 1, 1, mcn), lambda i, j: (i, j, 0, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((k, c, win, win), jnp.float32),
-            jax.ShapeDtypeStruct((k, m, 1, n), jnp.bfloat16),
-            jax.ShapeDtypeStruct((k, m, 1, n), jnp.bfloat16),
+            jax.ShapeDtypeStruct((k, mch, 1, mcn), jnp.bfloat16),
+            jax.ShapeDtypeStruct((k, mch, 1, mcn), jnp.bfloat16),
         ],
         interpret=interpret,
-    )(first, gyl, gxl, windows, d_tiled)
+        compiler_params=None if interpret else _cparams("parallel", "arbitrary"),
+    )(first, _stack_mov(gyl, mc), _stack_mov(gxl, mc), windows, d_tiled)
     # Barrier: without it XLA fuses the untiling transposes into the
     # custom-call's output scope and promotes a full gradient buffer
     # into scoped VMEM inside the scanned fit step (OOM at the 16 MB limit).
@@ -291,9 +356,9 @@ def _warp_tiled_bwd(tile, win, interpret, res, d_out):
             )
             ki += 1
 
-    def untile1(x):  # (K, M, 1, n) -> (M, Ho, Wo)
-        t = x.astype(jnp.float32).reshape(ny, nx, m, b, b)
-        return t.transpose(2, 0, 3, 1, 4).reshape(m, ny * b, nx * b)
+    def untile1(x):  # (K, MCH, 1, mcn) -> (M, Ho, Wo)
+        t = x.astype(jnp.float32).reshape(ny, nx, mch, mc, b, b)
+        return t.transpose(2, 3, 0, 4, 1, 5).reshape(m, ny * b, nx * b)
 
     return d_planes, untile1(d_gyl), untile1(d_gxl)
 

@@ -85,6 +85,15 @@ def make_segment(model, variant):
         gx, gy = grids_cf[0], grids_cf[1]
         grids = None
 
+        if variant == "warp_sg_coords":
+            # Coordinate-gradient path severed: isolates the image-cotangent
+            # half of the warp backward (window grads + unslice_add).
+            gy = jax.lax.stop_gradient(gy)
+            gx = jax.lax.stop_gradient(gx)
+        if variant == "warp_sg_image":
+            image_w = jax.lax.stop_gradient(image)
+        else:
+            image_w = image
         if variant == "no_warp":
             motion_images = jnp.broadcast_to(image[None], (M, H, W)) * (
                 1.0 + 0.0 * gx
@@ -95,19 +104,25 @@ def make_segment(model, variant):
             )
 
             motion_images = bilinear_sample_tiled_pallas_planes(
-                image, gy, gx, align_corners=False
+                image_w, gy, gx, align_corners=False
             )
         else:
             motion_images = bilinear_sample_mm(
-                image, jnp.stack([gx, gy], axis=-1), align_corners=False
+                image_w, jnp.stack([gx, gy], axis=-1), align_corners=False
             )
 
         if variant == "no_fft":
             dc = image * (1.0 - masks.sum(0))
             mov = (motion_images * masks).sum(0)
         else:
+            k_mov = fft2c(motion_images)
+            if os.environ.get("ABL_BARRIER", "1") == "1":
+                # Match production compose_kspace's round-5 fusion barrier
+                # (models/immoco.py): without it the scanned vjp of
+                # warp->fft->mask-sum lowers pathologically.
+                k_mov = jax.lax.optimization_barrier(k_mov)
             dc = fft2c(image) * (1.0 - masks.sum(0))
-            mov = (fft2c(motion_images) * masks).sum(0)
+            mov = (k_mov * masks).sum(0)
         return dc + mov, image
 
     def add_extra_params(params):
