@@ -237,7 +237,9 @@ def _mov_chunks(m: int, n: int, win: int, n_hats: int) -> int:
     # With _VMEM_LIMIT raised to 100 MB these scale ~6x beyond the 16 MB
     # defaults (probed: fwd 786K elems compiled at 16 MB; bwd needed ~37 B
     # per rows*win element).
-    cap = 3_200_000 if n_hats <= 2 else 1_600_000
+    # mc=8 fwd (3.1M elems) SIGKILLs the remote compile helper; fwd mc=4 /
+    # bwd mc=2 are the largest that compile.
+    cap = 1_600_000 if n_hats <= 2 else 800_000
     for mc in range(m, 0, -1):
         if m % mc:
             continue

@@ -94,8 +94,11 @@ def _crop_ssim(output, target):
     evaluate.py:57-80 on the test_immoco.py:77-81 crop)."""
     from miccai24_immoco_tpu.ops.metrics import center_crop_quarter
 
-    o = _minmax(center_crop_quarter(output))[:, None]
-    t = _minmax(center_crop_quarter(target))[:, None]
+    # Per-SAMPLE min-max (jax.vmap), matching the harness's per-slice
+    # quarter-crop normalization — a batch-global _minmax would score a
+    # slightly different quantity for batches > 1 (ADVICE r4 #2).
+    o = jax.vmap(_minmax)(center_crop_quarter(output))[:, None]
+    t = jax.vmap(_minmax)(center_crop_quarter(target))[:, None]
     return ssim_metric(o, t, 1.0)
 
 

@@ -26,6 +26,8 @@ def main():
     n = int(sys.argv[2]) if len(sys.argv) > 2 else 50
     scenario = sys.argv[3] if len(sys.argv) > 3 else "hard"
     mode = sys.argv[4] if len(sys.argv) > 4 else "plain"
+    if mode not in ("plain", "dc"):
+        raise SystemExit(f"mode must be 'plain' or 'dc', got {mode!r}")
 
     from miccai24_immoco_tpu import weights
     from miccai24_immoco_tpu.cli import _load_denoiser, _synthetic_corpus

@@ -137,6 +137,7 @@ def main():
         "n": n,
         "corpus": "synthetic seed-2024 (the e2e protocol corpora)",
         "afplus_ckpt": {"name": afp_name, "step": meta.get("step")},
+        "denoiser_ckpt": os.environ.get("MC_DENOISER", "denoiser_full"),
         "aggregate": combined,
         "per_slice": {m: per_method[m] for m in order},
     }
