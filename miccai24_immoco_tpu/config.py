@@ -142,6 +142,12 @@ class InstanceFitConfig:
     # backward, ~6x fewer warp FLOPs; requires motion_disp_px <=
     # warp_pallas_tile_px/2 - 2, see ops/warp_tiled_pallas.py).
     warp_impl: str = "matmul"
+    # Round-5 XH warp: build the bilinear hat rows in one fused XLA pass
+    # per direction and stream them into apply-style Pallas kernels
+    # (ops/warp_tiled_pallas._warp_tiled_xh).  Bit-identical numerics to
+    # the fused kernels; trades the measured per-row VPU floor (~18 us per
+    # (movement, window) unit) for HBM-rate weight reads.
+    warp_pallas_xla_hats: bool = False
     # Output-tile edge for warp_impl="pallas_tiled" (source window is twice
     # this unless warp_pallas_win_px overrides); H, W must be divisible by
     # it.

@@ -323,6 +323,7 @@ class IMMoCoModel:
                 motion_images = bilinear_sample_tiled_pallas_planes(
                     image, gy, gx, align_corners=False, tile_px=tile,
                     win_px=win,
+                    xla_hats=self.cfg.warp_pallas_xla_hats,
                 )
             else:
                 motion_images = bilinear_sample_tiled_pallas(

@@ -368,6 +368,211 @@ def _warp_tiled_bwd(tile, win, interpret, res, d_out):
 _warp_tiled.defvjp(_warp_tiled_fwd, _warp_tiled_bwd)
 
 
+# --- XLA-hats joint warp (round 5) ---------------------------------------
+#
+# Honest (fully-carried, two-length) round-5 measurements overturned every
+# prior attribution: the fused kernels' ~18 us per (movement, window) unit
+# is per-ROW VPU work on the in-kernel hat construction — win-independent
+# below 128 because a (rows, win<=128) op occupies ONE lane tile, and
+# tile/chunk-count-independent because total rows B*M*H*W is fixed (this
+# explains every "flat" probe in rounds 2-5).  The XH variant therefore
+# builds the hat rows in plain XLA — ONE fused bandwidth-limited pass per
+# direction (~630 MB bf16 at fit shapes) — and streams them into
+# apply-style kernels, turning the per-row VPU floor into an HBM-rate
+# read.  Numerics are bit-identical to the fused kernels: same f32 hat
+# expression, same bf16 cast, same matmul order/dtypes.
+
+
+def _hat_rows(pos: jnp.ndarray, win: int) -> jnp.ndarray:
+    """pos (..., n) -> (..., n, win) bf16 hat rows, one fused XLA pass.
+    f32 iota == the kernels' int32-iota-then-cast on integer values."""
+    idx = jax.lax.broadcasted_iota(
+        jnp.float32, (*pos.shape, win), pos.ndim
+    )
+    return jnp.maximum(0.0, 1.0 - jnp.abs(idx - pos[..., None])).astype(
+        jnp.bfloat16
+    )
+
+
+def _hat_d_rows(pos: jnp.ndarray, win: int) -> jnp.ndarray:
+    """d(hat)/d(pos) rows (see _hat_d), bf16, one fused XLA pass."""
+    idx = jax.lax.broadcasted_iota(
+        jnp.float32, (*pos.shape, win), pos.ndim
+    )
+    e = idx - pos[..., None]
+    lo = jnp.where((e > -1.0) & (e <= 0.0), -1.0, 0.0)
+    hi = jnp.where((e > 0.0) & (e <= 1.0), 1.0, 0.0)
+    return (lo + hi).astype(jnp.bfloat16)
+
+
+def _xh_bwd_kernel(
+    first_ref, ay_ref, ax_ref, ayd_ref, axd_ref, win_ref, dout_ref,
+    dwin_ref, dgy_ref, dgx_ref, *, c
+):
+    """_bwd_kernel with the four hat constructions replaced by streamed
+    operands; identical matmul/accumulation structure (d_win resident
+    across the movement axis, first-visit select)."""
+    ay = ay_ref[0, 0]  # (n, win) bf16
+    ax = ax_ref[0, 0]
+    ayd = ayd_ref[0, 0]
+    axd = axd_ref[0, 0]
+    n = ay.shape[0]
+    dgy = jnp.zeros((n,), jnp.float32)
+    dgx = jnp.zeros((n,), jnp.float32)
+    first = first_ref[0, 0, 0] > 0.5
+    for ci in range(c):
+        w = win_ref[0, ci]  # (win, win) bf16
+        do = dout_ref[0, 0, ci, :]  # (n,) f32
+        rows = jax.lax.dot_general(
+            ay, w, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(jnp.bfloat16)
+        rows_d = jax.lax.dot_general(
+            ayd, w, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(jnp.bfloat16)
+        dgy += jnp.sum(rows_d * ax, axis=1, dtype=jnp.float32) * do
+        dgx += jnp.sum(rows * axd, axis=1, dtype=jnp.float32) * do
+        t = (ax * do[:, None]).astype(jnp.bfloat16)
+        contrib = jax.lax.dot_general(
+            ay, t, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        prev = jnp.where(first, jnp.zeros_like(contrib), dwin_ref[0, ci])
+        dwin_ref[0, ci] = prev + contrib
+    dgy_ref[0, 0, 0, :] = dgy.astype(jnp.bfloat16)
+    dgx_ref[0, 0, 0, :] = dgx.astype(jnp.bfloat16)
+
+
+def _stack_hats(a: jnp.ndarray, mc: int) -> jnp.ndarray:
+    """(K, M, n, win) -> (K, M/mc, mc*n, win) contiguity-preserving."""
+    k, m, n, win = a.shape
+    return a.reshape(k, m // mc, mc * n, win)
+
+
+def _xh_chunk(m: int, n: int, win: int, is_bwd: bool) -> int:
+    """Streamed-hat kernels hold double-buffered hat blocks + matmul
+    intermediates; caps probed on this backend."""
+    cap = 800_000 if is_bwd else 1_600_000
+    for mc in range(m, 0, -1):
+        if m % mc:
+            continue
+        if mc * n * win <= cap:
+            return mc
+    return 1
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _warp_tiled_xh(planes, gy_px, gx_px, tile: int, win: int, interpret: bool):
+    """XLA-hats variant of _warp_tiled: identical semantics and numerics."""
+    out, _ = _warp_tiled_xh_fwd(planes, gy_px, gx_px, tile, win, interpret)
+    return out
+
+
+def _warp_tiled_xh_fwd(planes, gy_px, gx_px, tile, win, interpret):
+    windows, gyl, gxl, meta = _build(planes, gy_px, gx_px, tile, win)
+    c, m, ny, nx, b, win, _, _ = meta
+    n = b * b
+    k = ny * nx
+    ay = _hat_rows(gyl[:, :, 0, :], win)  # (K, M, n, win) bf16
+    ax = _hat_rows(gxl[:, :, 0, :], win)
+    mc = _xh_chunk(m, n, win, is_bwd=False)
+    mcn = mc * n
+    mch = m // mc
+    out = pl.pallas_call(
+        functools.partial(_apply_fwd_kernel, c=c),
+        grid=(k, mch),
+        in_specs=[
+            pl.BlockSpec((1, 1, mcn, win), lambda i, j: (i, j, 0, 0)),
+            pl.BlockSpec((1, 1, mcn, win), lambda i, j: (i, j, 0, 0)),
+            pl.BlockSpec((1, c, win, win), lambda i, j: (i, 0, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, 1, c, mcn), lambda i, j: (i, j, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((k, mch, c, mcn), jnp.float32),
+        interpret=interpret,
+        compiler_params=None if interpret else _cparams("parallel", "parallel"),
+    )(_stack_hats(ay, mc), _stack_hats(ax, mc), windows.astype(jnp.bfloat16))
+    out = (
+        out.reshape(ny, nx, mch, c, mc, b, b)
+        .transpose(2, 4, 0, 5, 1, 6, 3)
+        .reshape(m, ny * b, nx * b, c)
+    )
+    # Residuals reuse the forward's hats (no rebuild in bwd) + local coords
+    # (for the derivative rows) + windows.
+    return out, (planes, windows, gyl, gxl, ay, ax)
+
+
+def _warp_tiled_xh_bwd(tile, win, interpret, res, d_out):
+    planes, windows, gyl, gxl, ay, ax = res
+    c, h, w = planes.shape
+    m = gyl.shape[1]
+    b = tile
+    ny, nx = d_out.shape[1] // b, d_out.shape[2] // b
+    sys_ = _window_starts(h, ny, b, win)
+    sxs_ = _window_starts(w, nx, b, win)
+    n = b * b
+    k = ny * nx
+    ayd = _hat_d_rows(gyl[:, :, 0, :], win)
+    axd = _hat_d_rows(gxl[:, :, 0, :], win)
+    mc = _xh_chunk(m, n, win, is_bwd=True)
+    mcn = mc * n
+    mch = m // mc
+    d_tiled = (
+        d_out.reshape(mch, mc, ny, b, nx, b, c)
+        .transpose(2, 4, 0, 6, 1, 3, 5)
+        .reshape(k, mch, c, mcn)
+        .astype(jnp.float32)
+    )
+    first = jnp.zeros((mch, 1, mcn), jnp.float32).at[0].set(1.0)
+    hat_spec = pl.BlockSpec((1, 1, mcn, win), lambda i, j: (i, j, 0, 0))
+    d_win, d_gyl, d_gxl = pl.pallas_call(
+        functools.partial(_xh_bwd_kernel, c=c),
+        grid=(k, mch),
+        in_specs=[
+            pl.BlockSpec((1, 1, mcn), lambda i, j: (j, 0, 0)),
+            hat_spec, hat_spec, hat_spec, hat_spec,
+            pl.BlockSpec((1, c, win, win), lambda i, j: (i, 0, 0, 0)),
+            pl.BlockSpec((1, 1, c, mcn), lambda i, j: (i, j, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, c, win, win), lambda i, j: (i, 0, 0, 0)),
+            pl.BlockSpec((1, 1, 1, mcn), lambda i, j: (i, j, 0, 0)),
+            pl.BlockSpec((1, 1, 1, mcn), lambda i, j: (i, j, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((k, c, win, win), jnp.float32),
+            jax.ShapeDtypeStruct((k, mch, 1, mcn), jnp.bfloat16),
+            jax.ShapeDtypeStruct((k, mch, 1, mcn), jnp.bfloat16),
+        ],
+        interpret=interpret,
+        compiler_params=None if interpret else _cparams("parallel", "arbitrary"),
+    )(
+        first, _stack_hats(ay, mc), _stack_hats(ax, mc),
+        _stack_hats(ayd, mc), _stack_hats(axd, mc),
+        windows.astype(jnp.bfloat16), d_tiled,
+    )
+    d_win, d_gyl, d_gxl = jax.lax.optimization_barrier(
+        (d_win, d_gyl, d_gxl)
+    )
+    d_planes = jnp.zeros_like(planes)
+    ki = 0
+    for sy in sys_:
+        for sx in sxs_:
+            d_planes = d_planes.at[:, sy : sy + win, sx : sx + win].add(
+                d_win[ki]
+            )
+            ki += 1
+
+    def untile1(x):  # (K, MCH, 1, mcn) -> (M, Ho, Wo)
+        t = x.astype(jnp.float32).reshape(ny, nx, mch, mc, b, b)
+        return t.transpose(2, 3, 0, 4, 1, 5).reshape(m, ny * b, nx * b)
+
+    return d_planes, untile1(d_gyl), untile1(d_gxl)
+
+
+_warp_tiled_xh.defvjp(_warp_tiled_xh_fwd, _warp_tiled_xh_bwd)
+
+
 def _resolve_win(tile_px: int, win_px: int | None, h: int, w: int) -> int:
     """Source-window edge for a tile.  Default (None/0) keeps the historic
     2*tile geometry; an explicit win_px < 2*tile shrinks the hat-row and
@@ -421,10 +626,15 @@ def bilinear_sample_tiled_pallas_planes(
     tile_px: int = 64,
     win_px: int | None = None,
     interpret: bool | None = None,
+    xla_hats: bool = False,
 ) -> jnp.ndarray:
     """Planes entry: normalized sampling coordinates as separate (M, Ho, Wo)
     y/x planes — the channel-first model path feeds these directly, so no
-    (..., 2) trailing-dim array (lane-padded 64x on TPU) is ever built."""
+    (..., 2) trailing-dim array (lane-padded 64x on TPU) is ever built.
+
+    ``xla_hats=True`` selects the round-5 XH variant (hat rows built in one
+    fused XLA pass, streamed into apply-style kernels — bit-identical
+    numerics, HBM-rate instead of the per-row VPU floor)."""
     h, w = image.shape
     m, ho, wo = gy_n.shape
     if ho % tile_px or wo % tile_px:
@@ -446,7 +656,8 @@ def bilinear_sample_tiled_pallas_planes(
 
     gx = unnormalize(gx_n, w)
     gy = unnormalize(gy_n, h)
-    out = _warp_tiled(planes, gy, gx, tile_px, win, interpret)  # (M,Ho,Wo,C)
+    fn = _warp_tiled_xh if xla_hats else _warp_tiled
+    out = fn(planes, gy, gx, tile_px, win, interpret)  # (M,Ho,Wo,C)
     if jnp.iscomplexobj(image):
         return jax.lax.complex(out[..., 0], out[..., 1])
     return out[..., 0]

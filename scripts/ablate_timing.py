@@ -61,6 +61,9 @@ def build():
     return build_immoco(cfg, H, W)
 
 
+XH = os.environ.get("ABL_XH", "0") == "1"
+
+
 def make_segment(model, variant):
     cfg = model.cfg
     opt = optax.adam(cfg.learning_rate)
@@ -104,7 +107,8 @@ def make_segment(model, variant):
             )
 
             motion_images = bilinear_sample_tiled_pallas_planes(
-                image_w, gy, gx, align_corners=False
+                image_w, gy, gx, align_corners=False, xla_hats=XH,
+                win_px=int(os.environ.get("ABL_PWIN", "0")) or None,
             )
         else:
             motion_images = bilinear_sample_mm(

@@ -143,6 +143,11 @@ def main():
             # undoes the degenerate common-mode shift when a movement band
             # owns the k-space center (ops/recenter.py).
             recenter_max_px=float(os.environ.get("E2E_RECENTER", "0")),
+            # E2E_LGE: gradient-entropy weight (config.lambda_ge, reference
+            # immoco.py:116-117 default 1e-2).  The hard scenario's textured
+            # phantoms are penalized by the smoothing prior, so the hard
+            # sweep tunes this down (VERDICT r4 next #5).
+            lambda_ge=float(os.environ.get("E2E_LGE", "1e-2")),
         )
         corpus = _synthetic_corpus(n, size, scenario, seed=2024)
         import time as _time
