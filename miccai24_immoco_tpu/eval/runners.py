@@ -57,6 +57,12 @@ def _restart_improves(prev: Optional[float], new: float) -> bool:
     return not (np.isfinite(prev) and prev <= new)
 
 
+# Wall-clock attribution of the most recent run_immoco_batched call
+# (detection / per-bucket build + first-vs-steady batch times); read by
+# scripts/e2e_eval.py into the artifact meta (VERDICT r4 next #6).
+LAST_TIMING: Dict[str, Any] = {}
+
+
 def _metrics_dict(pred, gt) -> Dict[str, float]:
     vals = np.asarray(_slice_metrics(jnp.abs(pred), jnp.abs(gt)))
     return {k: float(v) for k, v in zip(METRIC_NAMES, vals)}
@@ -226,10 +232,18 @@ def run_immoco_batched(
     ``fallback_scorer_margin``.  Diagnostics record both scores.
     """
     import dataclasses as _dc
+    import time as _time
 
     from miccai24_immoco_tpu.parallel.sharded_fit import (
         make_batched_segmented_fit,
     )
+
+    # Wall-clock attribution (VERDICT r4 next #6): phase timers stashed in
+    # LAST_TIMING after every call — detection, per-bucket first batch
+    # (compile+run) vs steady batches, slice counts.  Read by
+    # scripts/e2e_eval.py into meta.json.
+    timing: Dict[str, Any] = {"buckets": {}}
+    _t0 = _time.time()
 
     ks_all = corpus["kspace_motion"]
     gt_all = corpus["image_rss"]
@@ -284,6 +298,7 @@ def run_immoco_batched(
         for j, _i in enumerate(idxs_c):
             slice_masks.append(m_b[j])
             slice_counts.append(int(ng_host[j]))
+    timing["detect_s"] = round(_time.time() - _t0, 2)
 
     if buckets:
         sizes = sorted({min(int(b), cfg.max_movements) for b in buckets})
@@ -321,11 +336,17 @@ def run_immoco_batched(
         if not idxs:
             continue
         bcfg = _dc.replace(cfg, max_movements=size)
+        _tb = _time.time()
         model = build_immoco(bcfg, h, w)
         run = make_batched_segmented_fit(model, segment_len=segment_len)
+        bt = timing["buckets"].setdefault(
+            size, {"build_s": 0.0, "batch_s": [], "n_slices": len(idxs)}
+        )
+        bt["build_s"] = round(_time.time() - _tb, 2)
         # One job per (slice, restart seed); K=1 degenerates to one per slice.
         jobs = [(i, s) for i in idxs for s in range(restarts)]
         for start in range(0, len(jobs), batch_size):
+            _tb = _time.time()
             batch = jobs[start : start + batch_size]
             pad = batch_size - len(batch)
             batch_padded = batch + [batch[-1]] * pad  # padded fits dropped
@@ -419,6 +440,10 @@ def run_immoco_batched(
                             jnp.abs(put_complex(gt_all[i]))
                         ),
                     }
+            bt["batch_s"].append(round(_time.time() - _tb, 2))
+    timing["total_s"] = round(_time.time() - _t0, 2)
+    global LAST_TIMING
+    LAST_TIMING = timing
     if (fallback_loss is not None or fallback_disp_px is not None
             or fallback_scorer is not None):
         for i in range(n):

@@ -364,17 +364,17 @@ class IMMoCoModel:
             kfn = lambda x: fft2c_mm(x, statics["dft"])  # noqa: E731
         else:
             kfn = fft2c
-        # Round-5 perf fix: barrier between the movement FFTs and the
-        # mask-sum.  Without it, XLA's backward fusion of
-        # (warp -> fft -> mask-sum) lowers pathologically on this TPU:
-        # the composed vjp measures 38.7 ms/rep where every sub-chain is
-        # ~2 ms (scripts/probe_compose_fix.py — barrier/realpair/disjoint
-        # all cure it; the barrier is the bit-exact identity).  This, not
-        # the Pallas warp, was the joint step's dominant term for two
-        # rounds (ablate_timing's "52 ms with warp / 17 without").
-        k_mov = jax.lax.optimization_barrier(kfn(motion_images))
+        # Round-5 note: an optimization_barrier between the movement FFTs
+        # and the mask-sum cures a 38.7->2.2 ms pathological backward
+        # fusion in UNSCANNED compositions (scripts/probe_compose_fix.py)
+        # but is perf-NEUTRAL inside the scanned fit (ablate two-length
+        # marginals 50.6 vs 50.6) while perturbing the tuned 115-iter
+        # bench at the 1e-3 ssim level via downstream fusion-order
+        # changes.  Production fits are all scanned, so the barrier is
+        # NOT installed here; eval-path authors composing warp->fft->
+        # mask-sum vjps OUTSIDE a scan should barrier locally.
         dc_term = kfn(image) * (1.0 - masks.sum(0))
-        mov_term = (k_mov * masks).sum(0)
+        mov_term = (kfn(motion_images) * masks).sum(0)
         return dc_term + mov_term
 
     def frozen_warp_weights(self, params, masks, statics):

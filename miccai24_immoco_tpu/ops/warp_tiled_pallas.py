@@ -61,8 +61,13 @@ from jax.experimental.pallas import tpu as pltpu
 #   of the backward is "arbitrary" (d_win accumulates across it in VMEM),
 #   everything else is parallel.
 # - vmem_limit_bytes raises the default 16 MB scoped-VMEM cap (v5e has
-#   128 MB); the movement-stacked kernels (mov_chunk > 1) need it.
+#   128 MB); movement-stacked blocks (mov_chunk > 1) and the XH variant
+#   need it.  The FUSED default kernels run WITHOUT compiler_params: both
+#   knobs measured perf-neutral there and the scheduling change perturbs
+#   the tuned bench configs at the 1e-3 ssim level.
 _VMEM_LIMIT = 100 * 1024 * 1024
+# (fwd_cap, bwd_cap) in rows*win elements for _mov_chunks; (0, 0) = mc=1.
+_MC_CAPS = (0, 0)
 
 
 def _cparams(*sem):
@@ -229,17 +234,16 @@ def _mov_chunks(m: int, n: int, win: int, n_hats: int) -> int:
     per-grid-step launch floor (~18 us on this backend, see
     scripts/probe_step_overhead.py / probe_hat_cost2.py: the kernel
     *computation* is ~1.5 us/step) is the fit's real warp cost."""
-    # Empirical caps (this backend's Mosaic keeps every Python-unrolled
-    # channel iteration's temporaries live, so analytic estimates undershoot):
-    # fwd (2 hats) compiled at rows*win = 786K (mc=2, n=4096, win=96);
-    # bwd (4 hats + 3 matmuls x 2ch) OOMed there at 29.4M scoped but runs
-    # at 524K (the historical mc=1 win-128 production point).
-    # With _VMEM_LIMIT raised to 100 MB these scale ~6x beyond the 16 MB
-    # defaults (probed: fwd 786K elems compiled at 16 MB; bwd needed ~37 B
-    # per rows*win element).
-    # mc=8 fwd (3.1M elems) SIGKILLs the remote compile helper; fwd mc=4 /
-    # bwd mc=2 are the largest that compile.
-    cap = 1_600_000 if n_hats <= 2 else 800_000
+    # Round-5 outcome: stacking is implemented, compiles (fwd mc=4 /
+    # bwd mc=2 with the raised vmem limit; mc=8 fwd SIGKILLs the remote
+    # compiler) and is CPU-oracle bit-exact per row — but measured NEUTRAL
+    # in the fit (the floor is per-ROW VPU hat work, invariant to step
+    # count; PERFORMANCE.md round 5) while the stacked backward's dwin
+    # contraction order perturbs the tuned 115-iter bench at the 1e-3 ssim
+    # level.  Default therefore pins mc=1 (bit-identical to the historical
+    # kernels); the machinery stays for geometries where launch count ever
+    # matters (set via _MC_CAPS).
+    cap = _MC_CAPS[0] if n_hats <= 2 else _MC_CAPS[1]
     for mc in range(m, 0, -1):
         if m % mc:
             continue
@@ -281,7 +285,6 @@ def _warp_tiled_fwd(planes, gy_px, gx_px, tile, win, interpret):
         out_specs=pl.BlockSpec((1, 1, c, mcn), lambda i, j: (i, j, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((k, mch, c, mcn), jnp.float32),
         interpret=interpret,
-        compiler_params=None if interpret else _cparams("parallel", "parallel"),
     )(_stack_mov(gyl, mc), _stack_mov(gxl, mc), windows)
     # Residuals carry the already-built windows + window-local coords so the
     # backward skips _build's window stacking / tiling transposes entirely.
@@ -339,7 +342,6 @@ def _warp_tiled_bwd(tile, win, interpret, res, d_out):
             jax.ShapeDtypeStruct((k, mch, 1, mcn), jnp.bfloat16),
         ],
         interpret=interpret,
-        compiler_params=None if interpret else _cparams("parallel", "arbitrary"),
     )(first, _stack_mov(gyl, mc), _stack_mov(gxl, mc), windows, d_tiled)
     # Barrier: without it XLA fuses the untiling transposes into the
     # custom-call's output scope and promotes a full gradient buffer

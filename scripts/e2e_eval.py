@@ -181,6 +181,8 @@ def main():
         )
         metrics, diags = out if want_diag else (out, None)
         wall = _time.time() - t0
+        from miccai24_immoco_tpu.eval import runners as _runners
+        meta.setdefault("timing", {})[scenario] = _runners.LAST_TIMING
         print(f"{scenario}: {wall:.1f}s wall for {n} slices "
               f"({wall/n:.2f} s/slice incl. detection+compile)", flush=True)
         meta["scenarios"][scenario] = {

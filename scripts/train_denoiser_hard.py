@@ -14,6 +14,13 @@ Env: DH_SEED (0); DH_FROM (denoiser_full) start checkpoint;
 DH_CROP=1 switches loss SSIM term + checkpoint gate to the eval
 protocol's quarter-crop minmax SSIM (train_denoiser.denoiser_loss_crop)
 — the round-4 lever for the whole-image-gate/crop-eval mismatch.
+DH_GATE=protocol (round 5, VERDICT r4 next #3): the best-checkpoint gate
+becomes a FROZEN multi-sample validation set — 16 phantoms at distinct
+seeds with a FIXED hard-severity corruption drawn once — scored every 100
+steps with the eval protocol's per-slice quarter-crop minmax SSIM of the
+plain forward.  The round-4 gate scored fresh single-draw corruptions
+in-graph, which measurably overfits a lucky severity draw (the DH_CROP
+fine-tune won its own gate by +0.037 yet lost 0.033 at protocol scale).
 """
 
 import os
@@ -79,8 +86,38 @@ def main():
     _params0, opt_state = init_fn(ik)
     del _params0  # fine-tune: start from the distributed checkpoint
 
+    gate = os.environ.get("DH_GATE", "")
+    val_fn = None
+    if gate == "protocol":
+        import numpy as np
+
+        from miccai24_immoco_tpu.eval.runners import _metrics_dict
+        from miccai24_immoco_tpu.ops.motion_sim import simulate_motion_batch
+        from miccai24_immoco_tpu.train.train_denoiser import denoise
+
+        # Frozen 16-slice validation corpus: seeds 500.. (disjoint from the
+        # train 0..47 and eval 2024..2073 ranges), ONE fixed corruption.
+        vimg = phantom_stack(16, 320, 320, seed=500, noise=False,
+                             texture=TEXTURE)
+        vsim = simulate_motion_batch(
+            jax.random.PRNGKey(500), vimg, cfg=HARD_SIM
+        )
+        vksp = vsim.kspace
+        vgt = vimg
+        _den = jax.jit(lambda p, k: denoise(net, p, k))
+
+        def val_fn(p):
+            ss = []
+            for i in range(vksp.shape[0]):
+                out = _den(p, vksp[i][None])[0]
+                ss.append(_metrics_dict(out, vgt[i])["ssim"])
+            return float(np.mean(ss))
+
+        base_ssim = None  # corrupted baseline, computed once below
+
     best_gain = jnp.asarray(-jnp.inf, jnp.float32)
     best_params = params
+    best_val = -float("inf")
     done = 0
     t0 = time.time()
     while done < steps:
@@ -93,12 +130,20 @@ def main():
         )
         done += seg
         if done % 100 < seg or done >= steps:
+            if val_fn is not None:
+                v = val_fn(params)
+                if v > best_val:
+                    best_val = v
+                    best_params = params
+                extra_log = f" val_ssim {v:.4f} best_val {best_val:.4f}"
+            else:
+                extra_log = ""
             print(
                 f"step {done}: loss {float(losses[-1]):.4f} "
                 f"ssim {float(stats['ssim'][-1]):.4f} "
                 f"gain {float(stats['ssim_gain'][-1]):+.4f} "
-                f"best {float(best_gain):+.4f} "
-                f"({(time.time()-t0)/done:.2f} s/step)",
+                f"best {float(best_gain):+.4f}" + extra_log +
+                f" ({(time.time()-t0)/done:.2f} s/step)",
                 flush=True,
             )
             save(out, best_params, {
@@ -110,6 +155,8 @@ def main():
                 "best_gain": float(best_gain),
                 "finetuned_from": from_ckpt,
                 "crop_match": crop_match,
+                "gate": gate or "in-graph ssim_gain (round-4 recipe)",
+                "best_val_ssim": (best_val if val_fn is not None else None),
                 "sim": "hard (heavy sim severity, textured noise-free phantom)",
             })
     print("final best_gain", float(best_gain), "->", out)
