@@ -86,6 +86,20 @@ def main():
 
     af_iters = int(os.environ.get("MC_AF_ITERS", "80"))
     afp_iters = int(os.environ.get("MC_AFP_ITERS", "80"))
+    # MC_METHODS (round 5): comma subset of autofocusing,af_plus,
+    # unet_denoiser,unet_denoiser_dc — methods NOT listed are loaded from
+    # an existing <out_dir>/combined.json per_slice payload instead of
+    # re-run (so a retrained checkpoint refreshes ONE row without paying
+    # for the rest; the merge is done by this generator, keeping artifact
+    # and generator in agreement — ADVICE r4 #1/#3).
+    methods = set(os.environ.get(
+        "MC_METHODS",
+        "autofocusing,af_plus,unet_denoiser,unet_denoiser_dc").split(","))
+    prior = {}
+    prior_path = os.path.join(out_dir, "combined.json")
+    if os.path.exists(prior_path):
+        with open(prior_path) as f:
+            prior = json.load(f).get("per_slice", {})
 
     per_method = {}  # method -> scenario -> per_slice list
     for scenario in scenarios:
@@ -93,22 +107,27 @@ def main():
         import time as _t
 
         t0 = _t.time()
-        af = run_autofocusing(
-            corpus, cfg=AutofocusingConfig(iters=af_iters), kld=kld, limit=n)
+        if "autofocusing" in methods:
+            af = run_autofocusing(
+                corpus, cfg=AutofocusingConfig(iters=af_iters), kld=kld,
+                limit=n)
+            per_method.setdefault("autofocusing", {})[scenario] = af
         t1 = _t.time()
         print(f"{scenario} autofocusing: {(t1-t0)/n:.2f} s/slice", flush=True)
-        afp = run_afplus(
-            corpus, cfg=AFPlusConfig(iters=afp_iters), limit=n,
-            metric_apply=metric_apply, params=afp_params)
+        if "af_plus" in methods:
+            afp = run_afplus(
+                corpus, cfg=AFPlusConfig(iters=afp_iters), limit=n,
+                metric_apply=metric_apply, params=afp_params)
+            per_method.setdefault("af_plus", {})[scenario] = afp
         t2 = _t.time()
         print(f"{scenario} af+: {(t2-t1)/n:.2f} s/slice", flush=True)
-        den = run_denoiser(corpus, den_net, den_params, limit=n)
+        if "unet_denoiser" in methods:
+            den = run_denoiser(corpus, den_net, den_params, limit=n)
+            per_method.setdefault("unet_denoiser", {})[scenario] = den
         t3 = _t.time()
         print(f"{scenario} denoiser: {(t3-t2)/n:.2f} s/slice", flush=True)
-        per_method.setdefault("autofocusing", {})[scenario] = af
-        per_method.setdefault("af_plus", {})[scenario] = afp
-        per_method.setdefault("unet_denoiser", {})[scenario] = den
-        if os.environ.get("MC_DENOISER_DC", "1") == "1":
+        if ("unet_denoiser_dc" in methods
+                and os.environ.get("MC_DENOISER_DC", "1") == "1"):
             # DC-projected denoiser (train_denoiser.denoise_dc): the
             # round-4-cont. variant that beats corrupted on the hard
             # corpus (0.9029 vs 0.8491 ssim, PERFORMANCE.md).
@@ -127,9 +146,18 @@ def main():
         per_method.setdefault("corrupted", {})[scenario] = (
             corrupted[scenario]["per_slice"][:n])
 
+    # Back-fill non-rerun methods from the prior artifact payload.
+    for m, scen_d in prior.items():
+        if m in per_method or m in ("corrupted", "immoco"):
+            continue
+        per_method[m] = {sc: rows[:n] for sc, rows in scen_d.items()
+                         if sc in scenarios}
     order = ["corrupted", "unet_denoiser", "autofocusing", "af_plus", "immoco"]
     if "unet_denoiser_dc" in per_method:
         order.insert(2, "unet_denoiser_dc")
+    order = [m for m in order
+             if m in per_method and all(
+                 sc in per_method[m] for sc in scenarios)]
     combined = {
         m: {s: aggregate(per_method[m][s]) for s in scenarios} for m in order
     }
