@@ -117,7 +117,13 @@ def main():
 
     best_gain = jnp.asarray(-jnp.inf, jnp.float32)
     best_params = params
+    # Protocol gate keeps ITS OWN snapshot: segment_fn overwrites
+    # best_params with the in-graph gain gate every segment, so mixing the
+    # two silently ships the gain-gated params (caught round 5: the first
+    # DH_GATE=protocol run saved bit-identical params to the round-4
+    # gain-gated checkpoint).
     best_val = -float("inf")
+    best_params_proto = params
     done = 0
     t0 = time.time()
     while done < steps:
@@ -134,7 +140,7 @@ def main():
                 v = val_fn(params)
                 if v > best_val:
                     best_val = v
-                    best_params = params
+                    best_params_proto = params
                 extra_log = f" val_ssim {v:.4f} best_val {best_val:.4f}"
             else:
                 extra_log = ""
@@ -146,7 +152,8 @@ def main():
                 f" ({(time.time()-t0)/done:.2f} s/step)",
                 flush=True,
             )
-            save(out, best_params, {
+            save(out,
+                 best_params_proto if val_fn is not None else best_params, {
                 "unet": {"in_chans": 1, "out_chans": 1,
                          "chans": net.chans,
                          "num_pool_layers": net.num_pool_layers,
