@@ -52,6 +52,17 @@ REGISTRY: Dict[str, str] = {
     "denoiser_hard": os.path.join(
         _ROOT, "artifacts", "denoiser_hard", "denoiser_hard"
     ),
+    # Round-5 re-gate (VERDICT r4 next #3): same fine-tune, best checkpoint
+    # selected by a FROZEN 16-slice fixed-corruption validation set scored
+    # with the protocol quarter-crop metric (DH_GATE=protocol) instead of
+    # the measured-broken single-draw in-graph gain gate.  Protocol-scale
+    # plain forward 0.8444 ssim (vs 0.8432 gain-gated) — still 0.0047
+    # under corrupted 0.8491: the plain-denoiser loss on textured phantoms
+    # is a committed multi-seed negative (PERFORMANCE.md round 5), and
+    # denoiser_hard + DC remains the shipped winning row.
+    "denoiser_hard_r5": os.path.join(
+        _ROOT, "artifacts", "denoiser_hard_r5", "denoiser_hard_r5"
+    ),
     # (Round-3 note: the former "afplus_scaled" entry pointed at a
     # machine-local uncommitted path and broke the fresh-clone restore
     # guarantee — VERDICT r2 weak #6.  It was dropped; the committed
