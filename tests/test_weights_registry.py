@@ -29,6 +29,10 @@ COMMITTED = (
     # Round-4: denoiser_full fine-tuned in-distribution on the hard
     # scenario (scripts/train_denoiser_hard.py, gated ssim_gain +0.257).
     "denoiser_hard",
+    # Round-5: the same fine-tune re-gated on the frozen multi-sample
+    # protocol validation set (DH_GATE=protocol; committed negative —
+    # plain 0.8444 vs corrupted 0.8491, PERFORMANCE.md round 5).
+    "denoiser_hard_r5",
 )
 
 
